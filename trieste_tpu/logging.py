@@ -1,0 +1,198 @@
+"""Observability: module-global summary writer + step number.
+
+TPU-native rebuild of the reference ``trieste/logging.py:31-227``. The writer is
+duck-typed against the ``SummaryWriter`` API (``add_scalar``/``add_histogram``/
+``add_text``) so both ``torch.utils.tensorboard.SummaryWriter`` and the bundled
+:class:`JsonlSummaryWriter` (a dependency-free fallback writing one JSON line per event)
+work. Summary callables are deferred via closures and all logging errors are swallowed,
+matching the reference's fault-tolerant wrappers (``logging.py:158-227``).
+"""
+from __future__ import annotations
+
+import contextlib
+import fnmatch
+import json
+import os
+import time
+from typing import Any, Callable, Iterator, Optional, Union
+
+import numpy as np
+
+SummaryFilter = Callable[[str], bool]
+
+
+def default_summary_filter(name: str) -> bool:
+    """Hide summaries whose name (or any path component) starts with ``_``
+    (reference ``logging.py:57-63``)."""
+    return not any(part.startswith("_") for part in name.split("/"))
+
+
+_WRITER: Optional[Any] = None
+_STEP: int = 0
+_FILTER: SummaryFilter = default_summary_filter
+
+
+class JsonlSummaryWriter:
+    """Minimal summary writer: one JSON object per line, no external deps."""
+
+    def __init__(self, logdir: str):
+        os.makedirs(logdir, exist_ok=True)
+        self._path = os.path.join(logdir, "events.jsonl")
+        self._f = open(self._path, "a")
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        self._f.write(
+            json.dumps({"t": time.time(), "tag": tag, "value": float(value), "step": step})
+            + "\n"
+        )
+        self._f.flush()
+
+    def add_histogram(self, tag: str, values: Any, step: int) -> None:
+        v = np.asarray(values).reshape(-1)
+        self._f.write(
+            json.dumps(
+                {
+                    "t": time.time(),
+                    "tag": tag,
+                    "histogram": {
+                        "mean": float(v.mean()) if v.size else 0.0,
+                        "std": float(v.std()) if v.size else 0.0,
+                        "min": float(v.min()) if v.size else 0.0,
+                        "max": float(v.max()) if v.size else 0.0,
+                        "count": int(v.size),
+                    },
+                    "step": step,
+                }
+            )
+            + "\n"
+        )
+        self._f.flush()
+
+    def add_text(self, tag: str, text: str, step: int) -> None:
+        self._f.write(
+            json.dumps({"t": time.time(), "tag": tag, "text": str(text), "step": step}) + "\n"
+        )
+        self._f.flush()
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def set_tensorboard_writer(writer: Optional[Any]) -> None:
+    """Set the global summary writer (reference ``logging.py:31-41``)."""
+    global _WRITER
+    _WRITER = writer
+
+
+def get_tensorboard_writer() -> Optional[Any]:
+    """(reference ``logging.py:44-49``)"""
+    return _WRITER
+
+
+@contextlib.contextmanager
+def tensorboard_writer(writer: Optional[Any]) -> Iterator[None]:
+    """Temporarily set the global writer (reference ``logging.py:52-60``)."""
+    old = get_tensorboard_writer()
+    set_tensorboard_writer(writer)
+    try:
+        yield
+    finally:
+        set_tensorboard_writer(old)
+
+
+def set_step_number(step: int) -> None:
+    """(reference ``logging.py:66-76``)"""
+    global _STEP
+    if step < 0:
+        raise ValueError(f"step number must be non-negative, got {step}")
+    _STEP = step
+
+
+def get_step_number() -> int:
+    return _STEP
+
+
+@contextlib.contextmanager
+def step_number(step: int) -> Iterator[None]:
+    old = get_step_number()
+    set_step_number(step)
+    try:
+        yield
+    finally:
+        set_step_number(old)
+
+
+def set_summary_filter(summary_filter: SummaryFilter) -> None:
+    """(reference ``logging.py:120-133``)"""
+    global _FILTER
+    _FILTER = summary_filter
+
+
+def get_summary_filter() -> SummaryFilter:
+    return _FILTER
+
+
+def include_summary(name: str) -> bool:
+    return _FILTER(name)
+
+
+def _evaluate(value: Union[float, Callable[[], Any]]) -> Any:
+    return value() if callable(value) else value
+
+
+def scalar(name: str, value: Union[float, Callable[[], float]], **kwargs: Any) -> None:
+    """Log a scalar if a writer is set and the filter passes; closures are only evaluated
+    when actually logged; errors are swallowed (reference ``logging.py:158-186``)."""
+    if _WRITER is None or not include_summary(name):
+        return
+    try:
+        v = float(np.asarray(_evaluate(value)))
+        _WRITER.add_scalar(name, v, _STEP, **kwargs)
+    except Exception as e:  # noqa: BLE001
+        print(f"failed to log scalar {name}: {e}")
+
+
+def histogram(name: str, values: Union[Any, Callable[[], Any]], **kwargs: Any) -> None:
+    if _WRITER is None or not include_summary(name):
+        return
+    try:
+        _WRITER.add_histogram(name, np.asarray(_evaluate(values)), _STEP, **kwargs)
+    except Exception as e:  # noqa: BLE001
+        print(f"failed to log histogram {name}: {e}")
+
+
+def text(name: str, value: Union[str, Callable[[], str]], **kwargs: Any) -> None:
+    if _WRITER is None or not include_summary(name):
+        return
+    try:
+        _WRITER.add_text(name, str(_evaluate(value)), _STEP, **kwargs)
+    except Exception as e:  # noqa: BLE001
+        print(f"failed to log text {name}: {e}")
+
+
+def pyplot(name: str, fig_or_fn: Any, **kwargs: Any) -> None:
+    """Log a matplotlib figure if the writer supports it (reference ``logging.py:206-227``)."""
+    if _WRITER is None or not include_summary(name):
+        return
+    try:
+        fig = _evaluate(fig_or_fn)
+        if hasattr(_WRITER, "add_figure"):
+            _WRITER.add_figure(name, fig, _STEP, **kwargs)
+    except Exception as e:  # noqa: BLE001
+        print(f"failed to log figure {name}: {e}")
+
+
+class SummaryFilterPatterns:
+    """Glob-pattern include/exclude filter helper."""
+
+    def __init__(self, include: str = "*", exclude: str = "_*"):
+        self._include = include
+        self._exclude = exclude
+
+    def __call__(self, name: str) -> bool:
+        return fnmatch.fnmatch(name, self._include) and not fnmatch.fnmatch(
+            name, self._exclude
+        )

@@ -1,0 +1,26 @@
+"""Exact and sparse Gaussian-process models (TPU-native replacement for the reference's
+``trieste/models/gpflow`` backend)."""
+
+from .builders import build_gpr, default_gpr_params
+from .gpr import GaussianProcessRegression
+from .posterior import GPRCache, GPRParams
+from .sampler import (
+    BatchReparametrizationSampler,
+    DecoupledTrajectorySampler,
+    IndependentReparametrizationSampler,
+    RandomFourierFeatureTrajectorySampler,
+)
+from .training import fit_gpr
+
+__all__ = [
+    "build_gpr",
+    "default_gpr_params",
+    "GaussianProcessRegression",
+    "GPRCache",
+    "GPRParams",
+    "BatchReparametrizationSampler",
+    "DecoupledTrajectorySampler",
+    "IndependentReparametrizationSampler",
+    "RandomFourierFeatureTrajectorySampler",
+    "fit_gpr",
+]

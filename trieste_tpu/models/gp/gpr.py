@@ -1,0 +1,249 @@
+"""Exact Gaussian-process-regression model.
+
+TPU-native counterpart of the reference's ``GaussianProcessRegression`` wrapper
+(``models/gpflow/models.py:69-527``). The object is a thin mutable shell over immutable
+pytree state (``GPRParams`` + padded data + ``GPRCache``); every numeric method calls a
+jitted pure function, so repeated BO steps at the same data capacity never recompile (the
+role of the reference's dynamic-shape ``tf.Variable`` trick, ``models.py:146-166``).
+
+``optimize`` runs vmapped multi-start L-BFGS on device (see
+:mod:`trieste_tpu.models.gp.training`) instead of scipy, covering the reference's
+``find_best_model_initialization(num_kernel_samples)`` + Scipy L-BFGS pipeline
+(``models.py:256-322``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...data import Dataset
+from ...types import TensorType
+from ..interfaces import (
+    FastUpdateModel,
+    HasReparamSampler,
+    HasTrajectorySampler,
+    ProbabilisticModel,
+    ReparametrizationSampler,
+    TrajectorySampler,
+)
+from . import posterior as P
+from .training import GPRTrainingResult, fit_gpr
+
+
+@partial(jax.jit, static_argnames=("num_starts", "train_noise", "max_iters"))
+def _jit_fit(key, params, X, Y, mask, num_starts, train_noise, max_iters):
+    return fit_gpr(
+        key, params, X, Y, mask,
+        num_starts=num_starts, train_noise=train_noise, max_iters=max_iters,
+    )
+
+
+@jax.jit
+def _jit_cache(params, X, Y, mask):
+    return P.build_cache(params, X, Y, mask)
+
+
+class GaussianProcessRegression:
+    """Exact GPR with a Gaussian likelihood and constant mean function.
+
+    Implements ``TrainableProbabilisticModel``, ``SupportsPredictJoint``,
+    ``SupportsPredictY``, ``SupportsGetKernel/ObservationNoise/InternalData/MeanFunction``,
+    ``SupportsCovarianceBetweenPoints``, ``FastUpdateModel``, ``HasTrajectorySampler`` and
+    ``HasReparamSampler`` (reference capability set of ``models/gpflow/models.py:69``).
+    """
+
+    def __init__(
+        self,
+        params: P.GPRParams,
+        dataset: Dataset,
+        *,
+        num_kernel_samples: int = 10,
+        train_noise: bool = True,
+        max_optimize_iters: int = 100,
+        num_rff_features: int = 1000,
+        optimize_key: Optional[jax.Array] = None,
+    ):
+        self._params = params
+        self._dataset = dataset
+        self._num_kernel_samples = num_kernel_samples
+        self._train_noise = train_noise
+        self._max_optimize_iters = max_optimize_iters
+        self._num_rff_features = num_rff_features
+        self._key = optimize_key if optimize_key is not None else jax.random.PRNGKey(0)
+        self._cache = _jit_cache(
+            params, dataset.query_points, dataset.observations, dataset.mask
+        )
+
+    # -- state accessors ------------------------------------------------------------
+
+    @property
+    def params(self) -> P.GPRParams:
+        return self._params
+
+    @property
+    def posterior_cache(self) -> P.GPRCache:
+        return self._cache
+
+    def get_kernel(self) -> Any:
+        return self._params.kernel
+
+    def get_observation_noise(self) -> jax.Array:
+        return self._params.noise_variance
+
+    def get_internal_data(self) -> Dataset:
+        return self._dataset
+
+    def get_mean_function(self) -> Callable[[TensorType], jax.Array]:
+        c = self._params.mean_constant
+
+        def mean_fn(x: TensorType) -> jax.Array:
+            x = jnp.asarray(x)
+            return jnp.broadcast_to(c, x.shape[:-1] + (1,))
+
+        return mean_fn
+
+    @property
+    def num_rff_features(self) -> int:
+        return self._num_rff_features
+
+    # -- predictions ----------------------------------------------------------------
+
+    def predict(self, query_points: TensorType) -> Tuple[jax.Array, jax.Array]:
+        return _predict_f(self._params, self._cache, jnp.asarray(query_points))
+
+    def predict_joint(self, query_points: TensorType) -> Tuple[jax.Array, jax.Array]:
+        return _predict_joint(self._params, self._cache, jnp.asarray(query_points))
+
+    def predict_y(self, query_points: TensorType) -> Tuple[jax.Array, jax.Array]:
+        return _predict_y(self._params, self._cache, jnp.asarray(query_points))
+
+    def sample(self, key: jax.Array, query_points: TensorType, num_samples: int) -> jax.Array:
+        return _sample(
+            key, self._params, self._cache, jnp.asarray(query_points), num_samples
+        )
+
+    def covariance_between_points(
+        self, query_points_1: TensorType, query_points_2: TensorType
+    ) -> jax.Array:
+        return _cov_between(
+            self._params, self._cache, jnp.asarray(query_points_1), jnp.asarray(query_points_2)
+        )
+
+    # -- fast updates (fantasizing) ---------------------------------------------------
+
+    def conditional_predict_f(
+        self, query_points: TensorType, additional_data: Dataset
+    ) -> Tuple[jax.Array, jax.Array]:
+        return _cond_predict_f(
+            self._params, self._cache, jnp.asarray(query_points),
+            additional_data.trimmed_query_points, additional_data.trimmed_observations,
+        )
+
+    def conditional_predict_joint(
+        self, query_points: TensorType, additional_data: Dataset
+    ) -> Tuple[jax.Array, jax.Array]:
+        return _cond_predict_joint(
+            self._params, self._cache, jnp.asarray(query_points),
+            additional_data.trimmed_query_points, additional_data.trimmed_observations,
+        )
+
+    def conditional_predict_y(
+        self, query_points: TensorType, additional_data: Dataset
+    ) -> Tuple[jax.Array, jax.Array]:
+        return _cond_predict_y(
+            self._params, self._cache, jnp.asarray(query_points),
+            additional_data.trimmed_query_points, additional_data.trimmed_observations,
+        )
+
+    def conditional_predict_f_sample(
+        self,
+        key: jax.Array,
+        query_points: TensorType,
+        additional_data: Dataset,
+        num_samples: int,
+    ) -> jax.Array:
+        return _cond_sample(
+            key, self._params, self._cache, jnp.asarray(query_points),
+            additional_data.trimmed_query_points, additional_data.trimmed_observations,
+            num_samples,
+        )
+
+    # -- training ---------------------------------------------------------------------
+
+    def update(self, dataset: Dataset) -> None:
+        """Set the data and refresh the posterior cache (reference ``models.py:228-254``)."""
+        if dataset.dimension != self._dataset.dimension:
+            raise ValueError(
+                f"dataset dimension {dataset.dimension} != model dimension "
+                f"{self._dataset.dimension}"
+            )
+        self._dataset = dataset
+        self._cache = _jit_cache(
+            self._params, dataset.query_points, dataset.observations, dataset.mask
+        )
+
+    def optimize(self, dataset: Dataset) -> GPRTrainingResult:
+        """Multi-start maximum-likelihood training (reference ``models.py:256-322``)."""
+        self._key, subkey = jax.random.split(self._key)
+        result = _jit_fit(
+            subkey,
+            self._params,
+            dataset.query_points,
+            dataset.observations,
+            dataset.mask,
+            self._num_kernel_samples,
+            self._train_noise,
+            self._max_optimize_iters,
+        )
+        self._params = result.params
+        self._dataset = dataset
+        self._cache = _jit_cache(
+            result.params, dataset.query_points, dataset.observations, dataset.mask
+        )
+        return result
+
+    # -- samplers ----------------------------------------------------------------------
+
+    def reparam_sampler(self, num_samples: int) -> ReparametrizationSampler:
+        from .sampler import BatchReparametrizationSampler
+
+        return BatchReparametrizationSampler(num_samples, self)
+
+    def trajectory_sampler(self) -> TrajectorySampler:
+        from .sampler import RandomFourierFeatureTrajectorySampler
+
+        return RandomFourierFeatureTrajectorySampler(self, self._num_rff_features)
+
+    # -- misc --------------------------------------------------------------------------
+
+    def log(self, dataset: Optional[Dataset] = None) -> None:
+        from ...logging import get_tensorboard_writer, scalar
+
+        if get_tensorboard_writer() is None:
+            return
+        scalar("kernel.variance", self._params.kernel.variance)
+        ls = jnp.atleast_1d(self._params.kernel.lengthscales)
+        for i in range(ls.shape[0]):
+            scalar(f"kernel.lengthscale[{i}]", ls[i])
+        scalar("likelihood.variance", self._params.noise_variance)
+
+    def __repr__(self) -> str:
+        return (
+            f"GaussianProcessRegression(kernel={self._params.kernel.kind}, "
+            f"n={len(self._dataset)})"
+        )
+
+
+# Module-level jitted kernels shared across model instances.
+_predict_f = jax.jit(P.predict_f)
+_predict_joint = jax.jit(P.predict_joint)
+_predict_y = jax.jit(P.predict_y)
+_sample = jax.jit(P.sample_joint, static_argnames="num_samples")
+_cov_between = jax.jit(P.covariance_between_points)
+_cond_predict_f = jax.jit(P.conditional_predict_f)
+_cond_predict_joint = jax.jit(P.conditional_predict_joint)
+_cond_predict_y = jax.jit(P.conditional_predict_y)
+_cond_sample = jax.jit(P.conditional_predict_f_sample, static_argnames="num_samples")

@@ -1,0 +1,118 @@
+"""On-device GP hyperparameter training.
+
+Replaces the reference's two-stage scheme — prior-randomized initialization scoring
+(``find_best_model_initialization``, ``models/gpflow/models.py:294-322`` /
+``randomize_hyperparameters`` ``models/gpflow/utils.py:54-127``) followed by a single
+host-side ``gpflow.optimizers.Scipy`` L-BFGS run — with something strictly stronger and
+TPU-shaped: **all** randomized restarts are optimized to convergence simultaneously by a
+vmapped pure-JAX L-BFGS (one compiled program, R parallel runs on device), and the best
+final (not initial) loss wins.
+
+Positive hyperparameters are trained in log space (the bijector role of GPflow's
+softplus); the observation noise keeps a small floor for numerical safety.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.lbfgs import minimize_lbfgs
+from .posterior import GPRParams, log_marginal_likelihood
+
+NOISE_FLOOR = 1e-8
+MIN_VARIANCE = 1e-12
+
+
+class GPRTrainingResult(NamedTuple):
+    params: GPRParams
+    loss: jax.Array  # best negative log marginal likelihood
+    all_losses: jax.Array  # [R] per-restart final losses
+
+
+def pack_params(params: GPRParams, train_noise: bool = True) -> jax.Array:
+    """Flatten trainable hyperparameters into an unconstrained vector."""
+    ls = jnp.atleast_1d(params.kernel.lengthscales)
+    parts = [
+        jnp.log(jnp.maximum(jnp.atleast_1d(params.kernel.variance), MIN_VARIANCE)),
+        jnp.log(jnp.maximum(ls, MIN_VARIANCE)),
+        jnp.atleast_1d(params.mean_constant),
+    ]
+    if train_noise:
+        parts.append(
+            jnp.log(jnp.maximum(jnp.atleast_1d(params.noise_variance) - NOISE_FLOOR, MIN_VARIANCE))
+        )
+    return jnp.concatenate(parts)
+
+
+def unpack_params(u: jax.Array, template: GPRParams, train_noise: bool = True) -> GPRParams:
+    """Inverse of :func:`pack_params`."""
+    ls_shape = jnp.shape(template.kernel.lengthscales)
+    n_ls = 1 if ls_shape == () else ls_shape[0]
+    variance = jnp.exp(u[0])
+    ls = jnp.exp(u[1 : 1 + n_ls])
+    if ls_shape == ():
+        ls = ls[0]
+    mean_constant = u[1 + n_ls]
+    if train_noise:
+        noise = NOISE_FLOOR + jnp.exp(u[2 + n_ls])
+    else:
+        noise = template.noise_variance
+    return GPRParams(
+        kernel=template.kernel.replace(variance=variance, lengthscales=ls),
+        noise_variance=noise,
+        mean_constant=mean_constant,
+    )
+
+
+def randomize_starts(
+    key: jax.Array,
+    params: GPRParams,
+    num_starts: int,
+    train_noise: bool = True,
+    log_spread: float = jnp.log(10.0),
+) -> jax.Array:
+    """``[R, P]`` initial vectors: the current parameters plus ``R-1`` log-uniform
+    perturbations (the TPU analogue of the reference's prior/uniform randomization,
+    ``models/gpflow/utils.py:54-127``)."""
+    u0 = pack_params(params, train_noise)
+    P = u0.shape[0]
+    shifts = jax.random.uniform(
+        key, (num_starts - 1, P), dtype=u0.dtype, minval=-log_spread, maxval=log_spread
+    )
+    # don't perturb the constant mean (index 1 + n_ls) multiplicatively in log space
+    ls_shape = jnp.shape(params.kernel.lengthscales)
+    n_ls = 1 if ls_shape == () else ls_shape[0]
+    shifts = shifts.at[:, 1 + n_ls].set(0.0)
+    return jnp.concatenate([u0[None], u0[None] + shifts], axis=0)
+
+
+def fit_gpr(
+    key: jax.Array,
+    params: GPRParams,
+    X: jax.Array,
+    Y: jax.Array,
+    mask: jax.Array,
+    *,
+    num_starts: int = 10,
+    train_noise: bool = True,
+    max_iters: int = 100,
+) -> GPRTrainingResult:
+    """Train GPR hyperparameters by multi-start L-BFGS on the negative log marginal
+    likelihood; jittable end to end."""
+
+    def loss_fn(u: jax.Array) -> jax.Array:
+        p = unpack_params(u, params, train_noise)
+        return -log_marginal_likelihood(p, X, Y, mask)
+
+    starts = randomize_starts(key, params, num_starts, train_noise)
+    results = jax.vmap(
+        lambda u0: minimize_lbfgs(loss_fn, u0, max_iters=max_iters)
+    )(starts)
+    finite = jnp.isfinite(results.fun)
+    losses = jnp.where(finite, results.fun, jnp.inf)
+    best = jnp.argmin(losses)
+    best_u = results.x[best]
+    best_params = unpack_params(best_u, params, train_noise)
+    return GPRTrainingResult(params=best_params, loss=losses[best], all_losses=losses)
