@@ -7,7 +7,42 @@ multi-start optimization, padded device-resident datasets) with a thin object sh
 mirroring the reference's public API surface.
 """
 
+from . import acquisition, logging, models, objectives, space, utils
+from .ask_tell_optimization import (
+    AskTellOptimizer,
+    AskTellOptimizerABC,
+    AskTellOptimizerNoTraining,
+    AskTellOptimizerState,
+)
+from .bayesian_optimizer import (
+    BayesianOptimizer,
+    FrozenRecord,
+    OptimizationResult,
+    Record,
+    stop_at_minimum,
+)
 from .data import Dataset
 from .observer import OBJECTIVE, Observer
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "AskTellOptimizer",
+    "AskTellOptimizerABC",
+    "AskTellOptimizerNoTraining",
+    "AskTellOptimizerState",
+    "BayesianOptimizer",
+    "Dataset",
+    "FrozenRecord",
+    "OBJECTIVE",
+    "Observer",
+    "OptimizationResult",
+    "Record",
+    "acquisition",
+    "logging",
+    "models",
+    "objectives",
+    "space",
+    "stop_at_minimum",
+    "utils",
+]

@@ -1,0 +1,33 @@
+"""Acquisition functions (reference ``trieste/acquisition/function``)."""
+
+from .function import (
+    AugmentedExpectedImprovement,
+    BatchMonteCarloExpectedImprovement,
+    ExpectedConstrainedImprovement,
+    ExpectedImprovement,
+    FastConstraintsFeasibility,
+    MakePositive,
+    MonteCarloExpectedImprovement,
+    MultipleOptimismNegativeLowerConfidenceBound,
+    NegativeLowerConfidenceBound,
+    NegativePredictiveMean,
+    ProbabilityOfFeasibility,
+    ProbabilityOfImprovement,
+    fast_constraints_feasibility,
+)
+
+__all__ = [
+    "AugmentedExpectedImprovement",
+    "BatchMonteCarloExpectedImprovement",
+    "ExpectedConstrainedImprovement",
+    "ExpectedImprovement",
+    "FastConstraintsFeasibility",
+    "MakePositive",
+    "MonteCarloExpectedImprovement",
+    "MultipleOptimismNegativeLowerConfidenceBound",
+    "NegativeLowerConfidenceBound",
+    "NegativePredictiveMean",
+    "ProbabilityOfFeasibility",
+    "ProbabilityOfImprovement",
+    "fast_constraints_feasibility",
+]

@@ -1,0 +1,262 @@
+"""The open-loop Ask/Tell interface.
+
+TPU-native rebuild of the reference ``trieste/ask_tell_optimization.py`` (756 LoC): users
+drive the loop themselves (e.g. from an async scheduler or another process) while the
+framework keeps the models, datasets and acquisition state. All state is pickleable and
+round-trips through :class:`AskTellOptimizerState`, the analogue of the reference's
+``to_state/from_state`` protocol (``ask_tell_optimization.py:76-92,451-576``).
+"""
+from __future__ import annotations
+
+import copy
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+from typing import Generic, Mapping, Optional, Tuple, TypeVar, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bayesian_optimizer import Record, optimize_model_and_save_result
+from .data import Dataset
+from .models.interfaces import ProbabilisticModel, TrainableProbabilisticModel
+from .observer import OBJECTIVE
+from .space import SearchSpace
+from .types import Tag, TensorType
+from .utils.misc import LocalizedTag, ignoring_local_tags
+
+StateType = TypeVar("StateType")
+
+
+@dataclass(frozen=True)
+class AskTellOptimizerState(Generic[StateType]):
+    """Serializable snapshot of an Ask/Tell run (reference
+    ``ask_tell_optimization.py:76-92``)."""
+
+    record: Record[StateType]
+    local_data_ixs: Optional[Tuple[jax.Array, ...]] = None
+    local_data_len: Optional[int] = None
+
+
+class AskTellOptimizerABC(ABC, Generic[StateType]):
+    """Ask/Tell BO driver (reference ``ask_tell_optimization.py:94-729``)."""
+
+    def __init__(
+        self,
+        search_space: SearchSpace,
+        datasets: Union[Mapping[Tag, Dataset], Dataset],
+        models: Union[Mapping[Tag, TrainableProbabilisticModel], TrainableProbabilisticModel],
+        acquisition_rule: Optional[object] = None,
+        acquisition_state: Optional[StateType] = None,
+        *,
+        fit_model: bool = True,
+        track_data: bool = True,
+        local_data_ixs: Optional[Tuple[TensorType, ...]] = None,
+        key: Optional[jax.Array] = None,
+    ):
+        if isinstance(datasets, Dataset):
+            datasets = {OBJECTIVE: datasets}
+            models = {OBJECTIVE: models}  # type: ignore[dict-item]
+        datasets = dict(datasets)
+        models = dict(models)
+        if not datasets or not models:
+            raise ValueError("dicts of datasets and models must be populated.")
+        if datasets.keys() != models.keys():
+            raise ValueError(
+                f"datasets and models should contain the same keys. Got {datasets.keys()} "
+                f"and {models.keys()} respectively."
+            )
+        self._search_space = search_space
+        self._datasets = datasets
+        self._models = models
+        self._acquisition_state = acquisition_state
+        self._track_data = track_data
+        self._key = key if key is not None else jax.random.PRNGKey(np.random.randint(2**31))
+
+        if acquisition_rule is None:
+            if datasets.keys() != {OBJECTIVE}:
+                raise ValueError(
+                    f"Default acquisition requires the single key {OBJECTIVE!r}, "
+                    f"got keys {datasets.keys()}"
+                )
+            from .acquisition.rule import EfficientGlobalOptimization
+
+            acquisition_rule = EfficientGlobalOptimization()
+        self._acquisition_rule = acquisition_rule
+
+        from .acquisition.rule import LocalDatasetsAcquisitionRule
+
+        if isinstance(acquisition_rule, LocalDatasetsAcquisitionRule):
+            from .acquisition.utils import with_local_datasets
+
+            acquisition_rule.initialize_subspaces(search_space)
+            self._datasets = dict(
+                with_local_datasets(
+                    self._datasets,
+                    acquisition_rule.num_local_datasets,
+                    local_data_ixs,
+                )
+            )
+
+        filtered = acquisition_rule.filter_datasets(self._models, self._datasets)
+        if callable(filtered):
+            self._acquisition_state, filtered = filtered(self._acquisition_state)
+        self._filtered_datasets = dict(filtered)
+
+        if fit_model:
+            for tag, model in self._models.items():
+                ds = self._dataset_for_tag(tag)
+                self.update_model(model, ds)
+
+    # -- abstract training hook ------------------------------------------------------
+
+    @abstractmethod
+    def update_model(self, model: TrainableProbabilisticModel, dataset: Dataset) -> None:
+        """How to (re)train a model when data changes."""
+
+    # -- accessors ---------------------------------------------------------------------
+
+    def _dataset_for_tag(self, tag: Tag) -> Dataset:
+        ltag = LocalizedTag.from_tag(tag)
+        for candidate in (tag, ltag.global_tag):
+            if candidate in self._filtered_datasets:
+                return self._filtered_datasets[candidate]
+        raise ValueError(f"no dataset for tag {tag!r}")
+
+    @property
+    def datasets(self) -> Mapping[Tag, Dataset]:
+        return self._datasets
+
+    @property
+    def dataset(self) -> Dataset:
+        datasets = ignoring_local_tags(self.datasets)
+        if len(datasets) == 1:
+            return next(iter(datasets.values()))
+        raise ValueError(f"expected a single dataset, found {len(datasets)}")
+
+    @property
+    def models(self) -> Mapping[Tag, TrainableProbabilisticModel]:
+        return self._models
+
+    @property
+    def model(self) -> TrainableProbabilisticModel:
+        models = ignoring_local_tags(self.models)
+        if len(models) == 1:
+            return next(iter(models.values()))
+        raise ValueError(f"expected a single model, found {len(models)}")
+
+    @property
+    def acquisition_state(self) -> Optional[StateType]:
+        return self._acquisition_state
+
+    # -- serialization -----------------------------------------------------------------
+
+    def to_record(self, copy: bool = True) -> Record[StateType]:
+        """(reference ``ask_tell_optimization.py:451-478``)"""
+        import copy as copy_module
+
+        return Record(
+            copy_module.deepcopy(self._datasets) if copy else self._datasets,
+            copy_module.deepcopy(self._models) if copy else self._models,
+            copy_module.deepcopy(self._acquisition_state)
+            if copy
+            else self._acquisition_state,
+        )
+
+    @classmethod
+    def from_record(
+        cls,
+        record: Record[StateType],
+        search_space: SearchSpace,
+        acquisition_rule: Optional[object] = None,
+        track_data: bool = True,
+    ) -> "AskTellOptimizerABC[StateType]":
+        """(reference ``ask_tell_optimization.py:480-528``). Models are not refit."""
+        return cls(
+            search_space,
+            dict(record.datasets),
+            dict(record.models),  # type: ignore[arg-type]
+            acquisition_rule=acquisition_rule,
+            acquisition_state=record.acquisition_state,
+            fit_model=False,
+            track_data=track_data,
+        )
+
+    def to_state(self, copy: bool = False) -> AskTellOptimizerState[StateType]:
+        """(reference ``ask_tell_optimization.py:530-540``)"""
+        return AskTellOptimizerState(record=self.to_record(copy=copy))
+
+    @classmethod
+    def from_state(
+        cls,
+        state: AskTellOptimizerState[StateType],
+        search_space: SearchSpace,
+        acquisition_rule: Optional[object] = None,
+        track_data: bool = True,
+    ) -> "AskTellOptimizerABC[StateType]":
+        """(reference ``ask_tell_optimization.py:542-576``)"""
+        return cls.from_record(
+            state.record, search_space, acquisition_rule, track_data=track_data
+        )
+
+    # -- the loop ----------------------------------------------------------------------
+
+    def ask(self) -> jax.Array:
+        """Optimize the acquisition and return query points
+        (reference ``ask_tell_optimization.py:595-632``)."""
+        self._key, acquire_key = jax.random.split(self._key)
+        points_or_stateful = self._acquisition_rule.acquire(
+            self._search_space, self._models, datasets=self._filtered_datasets,
+            key=acquire_key,
+        )
+        if callable(points_or_stateful):
+            self._acquisition_state, query_points = points_or_stateful(
+                self._acquisition_state
+            )
+        else:
+            query_points = points_or_stateful
+        return query_points
+
+    def tell(
+        self, new_data: Union[Mapping[Tag, Dataset], Dataset]
+    ) -> None:
+        """Append new observations, re-filter and retrain
+        (reference ``ask_tell_optimization.py:634-729``)."""
+        if isinstance(new_data, Dataset):
+            new_data = {OBJECTIVE: new_data}
+        new_data = dict(new_data)
+        if not set(new_data.keys()) <= set(self._datasets.keys()):
+            # allow global-only tells for local rules
+            for tag in new_data:
+                if tag not in self._datasets:
+                    ltag = LocalizedTag.from_tag(tag)
+                    if ltag.global_tag not in self._datasets:
+                        raise ValueError(
+                            f"Unknown tag {tag!r} in new data; expected keys "
+                            f"{self._datasets.keys()}"
+                        )
+        for tag, ds in new_data.items():
+            if tag in self._datasets:
+                self._datasets[tag] = self._datasets[tag] + ds
+        filtered = self._acquisition_rule.filter_datasets(self._models, self._datasets)
+        if callable(filtered):
+            self._acquisition_state, filtered = filtered(self._acquisition_state)
+        self._filtered_datasets = dict(filtered)
+        for tag, model in self._models.items():
+            self.update_model(model, self._dataset_for_tag(tag))
+
+
+class AskTellOptimizer(AskTellOptimizerABC[StateType]):
+    """Ask/Tell with model updating and hyperparameter training
+    (reference ``ask_tell_optimization.py:738-747``)."""
+
+    def update_model(self, model: TrainableProbabilisticModel, dataset: Dataset) -> None:
+        model.update(dataset)
+        optimize_model_and_save_result(model, dataset)
+
+
+class AskTellOptimizerNoTraining(AskTellOptimizerABC[StateType]):
+    """Ask/Tell that never retrains models (reference ``ask_tell_optimization.py:749-756``)."""
+
+    def update_model(self, model: TrainableProbabilisticModel, dataset: Dataset) -> None:
+        pass

@@ -147,12 +147,13 @@ class Dataset:
         clamped dynamic-update-slice semantics)."""
         qp = jnp.asarray(query_points)
         obs = jnp.asarray(observations)
-        start = self.num_points
+        start = jnp.asarray(self.num_points, jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
         new_qp = jax.lax.dynamic_update_slice(
-            self.query_points, qp.astype(self.query_points.dtype), (start, 0)
+            self.query_points, qp.astype(self.query_points.dtype), (start, zero)
         )
         new_obs = jax.lax.dynamic_update_slice(
-            self.observations, obs.astype(self.observations.dtype), (start, 0)
+            self.observations, obs.astype(self.observations.dtype), (start, zero)
         )
         return Dataset(new_qp, new_obs, start + qp.shape[0])
 

@@ -111,6 +111,18 @@ class GaussianProcessRegression:
 
     # -- predictions ----------------------------------------------------------------
 
+    def predict_partial(self):
+        """Marginal prediction as a pytree ``Partial`` (pure fn + current state): lets
+        acquisition Partials rebind new model state each BO step without retracing."""
+        from jax.tree_util import Partial
+
+        return Partial(P.predict_f, self._params, self._cache)
+
+    def predict_joint_partial(self):
+        from jax.tree_util import Partial
+
+        return Partial(P.predict_joint, self._params, self._cache)
+
     def predict(self, query_points: TensorType) -> Tuple[jax.Array, jax.Array]:
         return _predict_f(self._params, self._cache, jnp.asarray(query_points))
 
