@@ -1,0 +1,53 @@
+"""Test configuration.
+
+Forces the CPU backend with 8 virtual devices (the JAX analogue of the reference's
+"no real cluster" CI approach — SURVEY.md §4) and float64 (the reference's default dtype,
+``space.py:37``), so numerics tests compare against scipy/numpy at full precision. The
+TPU compute path itself is float32; dtype-leak tests cover that separately.
+
+NOTE: the axon TPU plugin overrides the ``JAX_PLATFORMS`` env var, so the platform must
+be forced via ``jax.config`` before any backend is initialized.
+"""
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store",
+        default="no",
+        choices=("yes", "no", "only"),
+        help="whether to run slow (real-BO convergence) tests",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: mark test as slow (real BO convergence)")
+
+
+def pytest_collection_modifyitems(config, items):
+    runslow = config.getoption("--runslow")
+    if runslow == "yes":
+        return
+    skip_slow = pytest.mark.skip(reason="needs --runslow yes")
+    skip_fast = pytest.mark.skip(reason="--runslow only skips fast tests")
+    for item in items:
+        if "slow" in item.keywords and runslow == "no":
+            item.add_marker(skip_slow)
+        elif "slow" not in item.keywords and runslow == "only":
+            item.add_marker(skip_fast)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(1234)

@@ -1,0 +1,98 @@
+"""Ask/Tell tests (role of reference ``tests/unit/test_ask_tell_optimization.py``)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.util.misc import (
+    FixedAcquisitionRule,
+    assert_datasets_allclose,
+    mk_dataset,
+    quadratic,
+)
+from tests.util.models import PseudoTrainableProbModel, QuadraticMeanAndRBFKernel
+from trieste_tpu.ask_tell_optimization import AskTellOptimizer, AskTellOptimizerNoTraining
+from trieste_tpu.data import Dataset
+from trieste_tpu.observer import OBJECTIVE
+from trieste_tpu.space import Box
+
+
+
+class _TrainableQuadratic(QuadraticMeanAndRBFKernel, PseudoTrainableProbModel):
+    pass
+
+
+@pytest.fixture
+def setup():
+    space = Box([-1.0, -1.0], [1.0, 1.0])
+    initial = mk_dataset([[0.5, 0.5]], [[0.5]])
+    model = _TrainableQuadratic()
+    rule = FixedAcquisitionRule([[0.25, 0.25]])
+    return space, initial, model, rule
+
+
+def test_ask_returns_rule_points(setup):
+    space, initial, model, rule = setup
+    at = AskTellOptimizer(space, initial, model, rule)
+    pts = at.ask()
+    np.testing.assert_allclose(np.asarray(pts), [[0.25, 0.25]])
+
+
+def test_tell_appends_data(setup):
+    space, initial, model, rule = setup
+    at = AskTellOptimizer(space, initial, model, rule)
+    pts = at.ask()
+    new = Dataset.from_arrays(pts, quadratic(pts))
+    at.tell(new)
+    assert len(at.dataset) == 2
+    np.testing.assert_allclose(
+        np.asarray(at.dataset.trimmed_query_points[-1]), [0.25, 0.25]
+    )
+
+
+def test_record_roundtrip(setup):
+    space, initial, model, rule = setup
+    at = AskTellOptimizer(space, initial, model, rule)
+    at.tell(mk_dataset([[0.1, 0.1]], [[0.02]]))
+    record = at.to_record()
+    restored = AskTellOptimizer.from_record(record, space, rule)
+    assert_datasets_allclose(restored.dataset, at.dataset)
+    pts = restored.ask()
+    np.testing.assert_allclose(np.asarray(pts), [[0.25, 0.25]])
+
+
+def test_state_roundtrip(setup):
+    space, initial, model, rule = setup
+    at = AskTellOptimizer(space, initial, model, rule)
+    state = at.to_state()
+    restored = AskTellOptimizer.from_state(state, space, rule)
+    assert_datasets_allclose(restored.dataset, at.dataset)
+
+
+def test_no_training_variant_does_not_train(setup):
+    space, initial, model, rule = setup
+
+    class CountingModel(_TrainableQuadratic):
+        optimize_calls = 0
+
+        def optimize(self, dataset):
+            CountingModel.optimize_calls += 1
+
+    m = CountingModel()
+    at = AskTellOptimizerNoTraining(space, initial, m, rule)
+    at.tell(mk_dataset([[0.1, 0.1]], [[0.02]]))
+    assert CountingModel.optimize_calls == 0
+
+
+def test_unknown_tell_tag_raises(setup):
+    space, initial, model, rule = setup
+    at = AskTellOptimizer(space, initial, model, rule)
+    with pytest.raises(ValueError):
+        at.tell({"UNKNOWN": mk_dataset([[0.0, 0.0]], [[0.0]])})
+
+
+def test_dataset_and_model_accessors(setup):
+    space, initial, model, rule = setup
+    at = AskTellOptimizer(space, initial, model, rule)
+    assert at.model is model
+    assert len(at.datasets) == 1
+    assert OBJECTIVE in at.datasets

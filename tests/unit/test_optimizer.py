@@ -1,0 +1,159 @@
+"""Acquisition-optimizer tests (role of reference ``tests/unit/acquisition/test_optimizer.py``)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trieste_tpu.acquisition.optimizer import (
+    automatic_optimizer_selector,
+    batchify_joint,
+    batchify_vectorize,
+    generate_continuous_optimizer,
+    generate_random_search_optimizer,
+    optimize_discrete,
+)
+from trieste_tpu.space import (
+    Box,
+    DiscreteSearchSpace,
+    TaggedMultiSearchSpace,
+    TaggedProductSearchSpace,
+)
+
+
+def _neg_quadratic_about(center):
+    center = jnp.asarray(center)
+
+    def acq(x):
+        # x: [..., 1, D] -> [..., 1]
+        return -jnp.sum((x[..., 0, :] - center) ** 2, axis=-1, keepdims=True)
+
+    return acq
+
+
+def test_optimize_discrete_exhaustive():
+    points = jnp.array([[0.0], [1.0], [2.0], [3.0]])
+    space = DiscreteSearchSpace(points)
+    got = optimize_discrete(space, _neg_quadratic_about([2.2]))
+    np.testing.assert_array_equal(np.asarray(got), [[2.0]])
+
+
+def test_continuous_optimizer_finds_interior_optimum(key):
+    space = Box([0.0, 0.0], [1.0, 1.0])
+    opt = generate_continuous_optimizer(num_initial_samples=256, num_optimization_runs=8)
+    got = opt(space, _neg_quadratic_about([0.3, 0.7]), key=key)
+    np.testing.assert_allclose(np.asarray(got), [[0.3, 0.7]], atol=1e-5)
+
+
+def test_continuous_optimizer_boundary_optimum(key):
+    space = Box([0.0, 0.0], [1.0, 1.0])
+    opt = generate_continuous_optimizer(num_initial_samples=256, num_optimization_runs=8)
+    got = opt(space, _neg_quadratic_about([1.5, -0.5]), key=key)
+    np.testing.assert_allclose(np.asarray(got), [[1.0, 0.0]], atol=1e-6)
+
+
+def test_continuous_optimizer_vectorized(key):
+    space = Box([0.0], [1.0])
+    centers = jnp.array([[0.2], [0.8], [0.5]])
+
+    def vec_acq(x):  # [..., V, D] -> [..., V]
+        return -jnp.sum((x - centers) ** 2, axis=-1)
+
+    opt = generate_continuous_optimizer(num_initial_samples=200, num_optimization_runs=6)
+    got = opt(space, (vec_acq, 3), key=key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(centers), atol=1e-5)
+
+
+def test_continuous_optimizer_multi_space(key):
+    space = TaggedMultiSearchSpace([Box([0.0], [0.4]), Box([0.6], [1.0])])
+
+    def vec_acq(x):
+        return -jnp.sum((x - 0.5) ** 2, axis=-1)
+
+    opt = generate_continuous_optimizer(num_initial_samples=128, num_optimization_runs=4)
+    got = opt(space, (vec_acq, 2), key=key)
+    # each slice is clamped to its own subspace
+    np.testing.assert_allclose(np.asarray(got), [[0.4], [0.6]], atol=1e-6)
+
+
+def test_mixed_space_relaxation(key):
+    space = TaggedProductSearchSpace(
+        [Box([0.0], [1.0]), DiscreteSearchSpace(jnp.array([[0.0], [1.0], [2.0]]))]
+    )
+
+    def acq(x):
+        x = x[..., 0, :]
+        return -((x[..., 0] - 0.25) ** 2) - (x[..., 1] - 1.0) ** 2
+
+    def acq_wrapped(x):
+        return acq(x)[..., None]
+
+    opt = generate_continuous_optimizer(num_initial_samples=512, num_optimization_runs=8)
+    got = opt(space, acq_wrapped, key=key)
+    np.testing.assert_allclose(np.asarray(got[0, 0]), 0.25, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[0, 1]), 1.0, atol=1e-9)  # discrete frozen
+
+
+def test_batchify_joint(key):
+    space = Box([0.0, 0.0], [1.0, 1.0])
+
+    def batch_acq(x):  # [..., B, D] -> [..., 1]; maximized when batch hits both corners
+        d0 = jnp.sum((x - jnp.array([0.1, 0.1])) ** 2, axis=-1)
+        d1 = jnp.sum((x - jnp.array([0.9, 0.9])) ** 2, axis=-1)
+        return -jnp.minimum(d0, d1).sum(axis=-1, keepdims=True)
+
+    opt = batchify_joint(
+        generate_continuous_optimizer(num_initial_samples=256, num_optimization_runs=6), 2
+    )
+    got = np.asarray(opt(space, batch_acq, key=key))
+    assert got.shape == (2, 2)
+    targets = {(0.1, 0.1), (0.9, 0.9)}
+    for row in got:
+        assert any(np.allclose(row, t, atol=1e-3) for t in targets)
+
+
+def test_batchify_vectorize(key):
+    space = Box([0.0], [1.0])
+    opt = batchify_vectorize(
+        generate_continuous_optimizer(num_initial_samples=128, num_optimization_runs=4), 3
+    )
+
+    def vec_acq(x):  # vectorized builders produce [..., V, D] -> [..., V]
+        return -jnp.sum((x - 0.6) ** 2, axis=-1)
+
+    got = opt(space, vec_acq, key=key)
+    assert got.shape == (3, 1)
+    np.testing.assert_allclose(np.asarray(got), 0.6, atol=1e-5)
+
+
+def test_random_search_optimizer(key):
+    space = Box([0.0], [1.0])
+    opt = generate_random_search_optimizer(num_samples=4000)
+    got = opt(space, _neg_quadratic_about([0.31]), key=key)
+    np.testing.assert_allclose(np.asarray(got), [[0.31]], atol=0.02)
+
+
+def test_automatic_selector_dispatch(key):
+    discrete = DiscreteSearchSpace(jnp.array([[0.0], [1.0]]))
+    got = automatic_optimizer_selector(discrete, _neg_quadratic_about([0.9]), key=key)
+    np.testing.assert_array_equal(np.asarray(got), [[1.0]])
+    box = Box([0.0], [1.0])
+    got = automatic_optimizer_selector(box, _neg_quadratic_about([0.4]), key=key)
+    np.testing.assert_allclose(np.asarray(got), [[0.4]], atol=1e-4)
+
+
+def test_continuous_optimizer_does_not_retrace_across_state_changes(key):
+    """New Partial-bound state with the same structure must hit the compiled cache."""
+    from jax.tree_util import Partial
+
+    from trieste_tpu.acquisition.optimizer import _optimize_continuous_core
+
+    space = Box([0.0], [1.0])
+    opt = generate_continuous_optimizer(num_initial_samples=64, num_optimization_runs=4)
+
+    def pure_acq(center, x):
+        return -jnp.sum((x[..., 0, :] - center) ** 2, axis=-1, keepdims=True)
+
+    opt(space, Partial(pure_acq, jnp.asarray([0.3])), key=key)
+    misses_before = _optimize_continuous_core._cache_size()
+    opt(space, Partial(pure_acq, jnp.asarray([0.8])), key=key)
+    assert _optimize_continuous_core._cache_size() == misses_before

@@ -391,11 +391,8 @@ class MonteCarloExpectedImprovement(SingleModelAcquisitionBuilder):
         self, model: ProbabilisticModel, dataset: Optional[Dataset] = None
     ) -> AcquisitionFunction:
         dataset = _validate_dataset(dataset, "MonteCarloExpectedImprovement")
-        if not isinstance(model, HasReparamSampler):
-            raise ValueError("MonteCarloExpectedImprovement requires HasReparamSampler")
-        sampler = model.reparam_sampler(self._sample_size)
         eta = _min_posterior_mean(model, dataset)
-        sample_fn = Partial(_frozen_sample, sampler, self._key)
+        sample_fn = _sample_fn_for(model, self._sample_size, self._key, joint=False)
         return Partial(_mc_ei_fn, sample_fn, eta)
 
     def __repr__(self) -> str:
@@ -404,6 +401,26 @@ class MonteCarloExpectedImprovement(SingleModelAcquisitionBuilder):
 
 def _frozen_sample(sampler, key, x):
     return sampler.sample(x, key=key)
+
+
+def _sample_fn_for(model: ProbabilisticModel, sample_size: int, key: jax.Array, joint: bool):
+    """A pytree-friendly frozen-randomness sampling callable for ``model``.
+
+    Models exposing ``sample_joint_partial``/``sample_marginal_partial`` yield pure
+    Partials (no retrace across BO steps); others fall back to a reparam-sampler object
+    wrapped as a zero-leaf Partial (correct, but retraces per model object).
+    """
+    import functools
+
+    attr = "sample_joint_partial" if joint else "sample_marginal_partial"
+    if hasattr(model, attr):
+        return getattr(model, attr)(sample_size, key)
+    if not isinstance(model, HasReparamSampler):
+        raise ValueError(
+            "Monte-Carlo acquisition functions require a reparametrization-samplable model"
+        )
+    sampler = model.reparam_sampler(sample_size)
+    return Partial(functools.partial(_frozen_sample, sampler, key))
 
 
 class BatchMonteCarloExpectedImprovement(SingleModelAcquisitionBuilder):
@@ -421,13 +438,8 @@ class BatchMonteCarloExpectedImprovement(SingleModelAcquisitionBuilder):
         self, model: ProbabilisticModel, dataset: Optional[Dataset] = None
     ) -> AcquisitionFunction:
         dataset = _validate_dataset(dataset, "BatchMonteCarloExpectedImprovement")
-        if not isinstance(model, HasReparamSampler):
-            raise ValueError(
-                "BatchMonteCarloExpectedImprovement requires a HasReparamSampler model"
-            )
-        sampler = model.reparam_sampler(self._sample_size)
         eta = _min_posterior_mean(model, dataset)
-        sample_fn = Partial(_frozen_sample, sampler, self._key)
+        sample_fn = _sample_fn_for(model, self._sample_size, self._key, joint=True)
         return Partial(_batch_mc_ei_fn, sample_fn, eta)
 
     def __repr__(self) -> str:

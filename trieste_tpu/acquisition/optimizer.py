@@ -103,8 +103,16 @@ def _as_vectorized(
 
     if isinstance(f, tuple):
         fn, V = f
+    else:
+        fn, V = f, None
+    if not isinstance(fn, Partial):
+        # Plain callables become zero-leaf Partials: the function lands in the treedef
+        # (static under jit) instead of being mistaken for an array leaf. Builders that
+        # want no-retrace rebinding return proper Partials already.
+        fn = Partial(fn)
+    if V is not None:
         return Partial(_vec_wrap, fn), V
-    return Partial(_scalar_wrap, f), 1
+    return Partial(_scalar_wrap, fn), 1
 
 
 def _space_bounds_and_discrete_mask(

@@ -123,6 +123,26 @@ class GaussianProcessRegression:
 
         return Partial(P.predict_joint, self._params, self._cache)
 
+    def sample_joint_partial(self, num_samples: int, key: jax.Array):
+        """Joint reparametrization sampling as a pure pytree Partial with frozen base
+        randomness (see ``pure_batch_reparam_sample``)."""
+        from jax.tree_util import Partial
+
+        from .sampler import pure_batch_reparam_sample
+
+        s_token = jnp.zeros((num_samples,), self._cache.X.dtype)
+        return Partial(pure_batch_reparam_sample, self._params, self._cache, key, s_token)
+
+    def sample_marginal_partial(self, num_samples: int, key: jax.Array):
+        from jax.tree_util import Partial
+
+        from .sampler import pure_marginal_reparam_sample
+
+        s_token = jnp.zeros((num_samples,), self._cache.X.dtype)
+        return Partial(
+            pure_marginal_reparam_sample, self._params, self._cache, key, s_token
+        )
+
     def predict(self, query_points: TensorType) -> Tuple[jax.Array, jax.Array]:
         return _predict_f(self._params, self._cache, jnp.asarray(query_points))
 

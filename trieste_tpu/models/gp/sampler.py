@@ -41,6 +41,45 @@ from .posterior import GPRCache, GPRParams
 _MATERN_DF = {MATERN12: 1.0, MATERN32: 3.0, MATERN52: 5.0}
 
 
+def pure_batch_reparam_sample(params, cache, key, s_token, x):
+    """Pure joint reparametrization sampling for acquisition Partials.
+
+    ``s_token`` is a dummy ``[S]`` array whose (static) shape carries the sample count;
+    the base normal draws are regenerated deterministically from ``key`` each call, which
+    realizes the reference's "frozen eps" semantics (``sampler.py:167-287``) without any
+    object state — the whole sampler is a pytree and never retraces the optimizer.
+
+    ``x: [..., B, D]`` -> samples ``[..., S, B, L]``.
+    """
+    from .posterior import predict_joint
+    from ...utils.misc import jitter_for
+
+    x = jnp.asarray(x)
+    mean, cov = predict_joint(params, cache, x)  # [..., B, L], [..., L, B, B]
+    B = x.shape[-2]
+    S = s_token.shape[0]
+    L_out = mean.shape[-1]
+    eps = jax.random.normal(key, (L_out, B, S), dtype=cov.dtype)
+    Lc = jnp.linalg.cholesky(cov + jitter_for(cov.dtype) * jnp.eye(B, dtype=cov.dtype))
+    draws = Lc @ eps  # [..., L, B, S]
+    draws = jnp.moveaxis(jnp.moveaxis(draws, -1, -3), -1, -2)  # [..., S, B, L]
+    return mean[..., None, :, :] + draws
+
+
+def pure_marginal_reparam_sample(params, cache, key, s_token, x):
+    """Pure marginal reparametrization sampling (reference ``sampler.py:82-166``).
+
+    ``x: [..., B, D]`` -> samples ``[..., S, B, L]`` with one independent draw per point.
+    """
+    from .posterior import predict_f
+
+    x = jnp.asarray(x)
+    mean, var = predict_f(params, cache, x)  # [..., B, L]
+    S = s_token.shape[0]
+    eps = jax.random.normal(key, (S, 1, mean.shape[-1]), dtype=mean.dtype)
+    return mean[..., None, :, :] + jnp.sqrt(var)[..., None, :, :] * eps
+
+
 class IndependentReparametrizationSampler(ReparametrizationSampler):
     """Marginal reparametrization sampler: ``f = mean + sqrt(var) * eps`` with frozen
     ``eps [S, 1, L]`` (reference ``sampler.py:82-166``)."""
