@@ -41,6 +41,29 @@ from .rule import (
     LocalDatasetsAcquisitionRule,
     RandomSampling,
 )
+from .trust_region import (
+    BatchTrustRegion,
+    BatchTrustRegionBox,
+    BatchTrustRegionState,
+    SingleObjectiveTrustRegionBox,
+    TREGOBox,
+    TURBOBox,
+    UpdatableTrustRegion,
+    UpdatableTrustRegionBox,
+)
+from .combination import Map, Product, Reducer, Sum
+from .function.active_learning import (
+    BayesianActiveLearningByDisagreement,
+    ExpectedFeasibility,
+    IntegratedVarianceReduction,
+    PredictiveVariance,
+)
+from .function.continuous_thompson_sampling import (
+    GreedyContinuousThompsonSampling,
+    ParallelContinuousThompsonSampling,
+)
+from .function.entropy import GIBBON, MinValueEntropySearch
+from .function.greedy_batch import Fantasizer, LocalPenalization
 from .sampler import (
     ExactThompsonSampler,
     GumbelSampler,

@@ -1,0 +1,283 @@
+"""Greedy batch acquisition: local penalization and fantasizing.
+
+TPU-native rebuild of the reference ``trieste/acquisition/function/greedy_batch.py``:
+
+* :class:`LocalPenalization` (``greedy_batch.py:54-390``): multiplies a positive base
+  acquisition by soft/hard repulsion factors around pending points, with the Lipschitz
+  constant estimated from sampled posterior-mean gradients — here a single vmapped
+  ``jax.grad`` sweep on device instead of TF autodiff batching.
+* :class:`Fantasizer` (``greedy_batch.py:392-826``): conditions a
+  :class:`~trieste_tpu.models.interfaces.FastUpdateModel` on hypothesized observations at
+  the pending points (kriging-believer posterior mean, or posterior samples averaged MC
+  style) and builds the base acquisition on the fantasized posterior.
+"""
+from __future__ import annotations
+
+from typing import Callable, Mapping, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erfc
+from jax.tree_util import Partial
+
+from ...data import Dataset
+from ...models.interfaces import FastUpdateModel, ProbabilisticModel
+from ...observer import OBJECTIVE
+from ...types import Tag, TensorType
+from ..interface import (
+    AcquisitionFunction,
+    SingleModelAcquisitionBuilder,
+    SingleModelGreedyAcquisitionBuilder,
+)
+from ..utils import predictor
+from .function import ExpectedImprovement, MakePositive, _min_posterior_mean
+
+
+# ---------------------------------------------------------------------------------
+# Local penalization (reference greedy_batch.py:54-390)
+# ---------------------------------------------------------------------------------
+
+
+def _soft_penalizer_fn(
+    predict: Callable,
+    lipschitz: jax.Array,
+    eta: jax.Array,
+    pending_points: jax.Array,
+    x: TensorType,
+) -> jax.Array:
+    """Soft local penalizer of Gonzalez et al. (reference ``soft_local_penalizer``,
+    ``greedy_batch.py:300-345``)."""
+    x = jnp.asarray(x)  # [..., 1, D]
+    pending_mean, pending_var = predict(pending_points)  # [P, 1]
+    radius = (pending_mean[:, 0] - eta) / lipschitz  # [P]
+    scale = jnp.sqrt(jnp.maximum(pending_var[:, 0], 1e-24)) / lipschitz
+    r = jnp.linalg.norm(x - pending_points, axis=-1)  # [..., P]
+    z = (r - radius) / (jnp.sqrt(2.0) * scale)
+    phi = 0.5 * erfc(-z)
+    return jnp.prod(phi, axis=-1, keepdims=True)
+
+
+def _hard_penalizer_fn(
+    predict: Callable,
+    lipschitz: jax.Array,
+    eta: jax.Array,
+    pending_points: jax.Array,
+    x: TensorType,
+) -> jax.Array:
+    """Hard local penalizer of Alvi et al. (reference ``hard_local_penalizer``,
+    ``greedy_batch.py:348-390``)."""
+    x = jnp.asarray(x)
+    pending_mean, pending_var = predict(pending_points)
+    gamma = (
+        pending_mean[:, 0] - eta + jnp.sqrt(jnp.maximum(pending_var[:, 0], 1e-24))
+    )  # [P]
+    r = jnp.linalg.norm(x - pending_points, axis=-1)  # [..., P]
+    phi = jnp.minimum(1.0, lipschitz * r / jnp.maximum(gamma, 1e-12))
+    return jnp.prod(phi, axis=-1, keepdims=True)
+
+
+def _penalized_fn(base: Callable, penalizer: Callable, x: TensorType) -> jax.Array:
+    return base(x) * penalizer(x)
+
+
+class LocalPenalization(SingleModelGreedyAcquisitionBuilder):
+    """Penalization-based greedy batches (reference ``greedy_batch.py:54-299``).
+
+    The base acquisition defaults to softplus-wrapped EI; the Lipschitz constant is the
+    maximum posterior-mean gradient norm over a space sample, computed by one vmapped
+    ``jax.grad`` on device (replacing the reference's batched ``tf.GradientTape`` sweep,
+    ``greedy_batch.py:206-233``).
+    """
+
+    def __init__(
+        self,
+        search_space,
+        num_samples: int = 500,
+        penalizer: str = "soft",
+        base_acquisition_function_builder: Optional[SingleModelAcquisitionBuilder] = None,
+        *,
+        key: Optional[jax.Array] = None,
+    ):
+        if num_samples <= 0:
+            raise ValueError(f"num_samples must be positive, got {num_samples}")
+        if penalizer not in ("soft", "hard"):
+            raise ValueError(f"penalizer must be 'soft' or 'hard', got {penalizer!r}")
+        self._search_space = search_space
+        self._num_samples = num_samples
+        self._penalizer_kind = penalizer
+        if base_acquisition_function_builder is None:
+            base_acquisition_function_builder = MakePositive(ExpectedImprovement())
+        self._base_builder = base_acquisition_function_builder
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+        self._base_fn: Optional[AcquisitionFunction] = None
+
+    def _estimate_lipschitz(self, model: ProbabilisticModel) -> tuple[jax.Array, jax.Array]:
+        """(reference ``greedy_batch.py:206-233``)"""
+        self._key, sub = jax.random.split(self._key)
+        samples = self._search_space.sample(sub, self._num_samples)
+
+        def mean_at(xi: jax.Array) -> jax.Array:
+            m, _ = model.predict(xi[None])
+            return m[0, 0]
+
+        grads = jax.vmap(jax.grad(mean_at))(samples)  # [N, D]
+        norms = jnp.linalg.norm(grads, axis=-1)
+        lipschitz = jnp.max(norms)
+        # numerical floor, as in the reference (:229-233)
+        return jnp.maximum(lipschitz, 10.0), samples
+
+    def prepare_acquisition_function(
+        self,
+        model: ProbabilisticModel,
+        dataset: Optional[Dataset] = None,
+        pending_points: Optional[TensorType] = None,
+    ) -> AcquisitionFunction:
+        if dataset is None or len(dataset) == 0:
+            raise ValueError("LocalPenalization requires a non-empty dataset")
+        self._base_fn = self._base_builder.prepare_acquisition_function(model, dataset)
+        self._lipschitz, _ = self._estimate_lipschitz(model)
+        self._eta = _min_posterior_mean(model, dataset)
+        return self._with_penalization(model, pending_points)
+
+    def update_acquisition_function(
+        self,
+        function: AcquisitionFunction,
+        model: ProbabilisticModel,
+        dataset: Optional[Dataset] = None,
+        pending_points: Optional[TensorType] = None,
+        new_optimization_step: bool = True,
+    ) -> AcquisitionFunction:
+        if new_optimization_step or self._base_fn is None:
+            return self.prepare_acquisition_function(model, dataset, pending_points)
+        return self._with_penalization(model, pending_points)
+
+    def _with_penalization(
+        self, model: ProbabilisticModel, pending_points: Optional[TensorType]
+    ) -> AcquisitionFunction:
+        if pending_points is None or jnp.size(pending_points) == 0:
+            return self._base_fn
+        pen_fn = _soft_penalizer_fn if self._penalizer_kind == "soft" else _hard_penalizer_fn
+        penalizer = Partial(
+            pen_fn,
+            predictor(model),
+            self._lipschitz,
+            self._eta,
+            jnp.asarray(pending_points),
+        )
+        return Partial(_penalized_fn, self._base_fn, penalizer)
+
+    def __repr__(self) -> str:
+        return f"LocalPenalization({self._search_space!r}, {self._num_samples!r})"
+
+
+# ---------------------------------------------------------------------------------
+# Fantasizer (reference greedy_batch.py:392-826)
+# ---------------------------------------------------------------------------------
+
+
+class _FantasizedModel:
+    """A model view conditioned on fantasy data, delegating to the base model's
+    closed-form conditional predictions (reference ``_fantasized_model``,
+    ``greedy_batch.py:630-826``)."""
+
+    def __init__(self, model: FastUpdateModel, fantasy_data: Dataset):
+        self._model = model
+        self._fantasy_data = fantasy_data
+
+    def predict(self, query_points: TensorType):
+        return self._model.conditional_predict_f(query_points, self._fantasy_data)
+
+    def predict_joint(self, query_points: TensorType):
+        return self._model.conditional_predict_joint(query_points, self._fantasy_data)
+
+    def predict_y(self, query_points: TensorType):
+        return self._model.conditional_predict_y(query_points, self._fantasy_data)
+
+    def predict_partial(self):
+        if hasattr(self._model, "params") and hasattr(self._model, "posterior_cache"):
+            from ...models.gp.posterior import conditional_predict_f
+
+            return Partial(
+                conditional_predict_f,
+                self._model.params,
+                self._model.posterior_cache,
+                extra_X=self._fantasy_data.trimmed_query_points,
+                extra_Y=self._fantasy_data.trimmed_observations,
+            )
+        return self.predict
+
+    def get_observation_noise(self):
+        return self._model.get_observation_noise()
+
+    def get_kernel(self):
+        return self._model.get_kernel()
+
+    def log(self, dataset=None):
+        pass
+
+
+class Fantasizer(SingleModelGreedyAcquisitionBuilder):
+    """Greedy batches by fantasizing observations at pending points
+    (reference ``greedy_batch.py:392-629``). ``fantasize_method``:
+
+    * ``"KB"`` (kriging believer): pending observations are the posterior mean;
+    * ``"sample"``: one posterior sample (per the bound key) at the pending points.
+    """
+
+    def __init__(
+        self,
+        base_acquisition_function_builder: Optional[SingleModelAcquisitionBuilder] = None,
+        fantasize_method: str = "KB",
+        *,
+        key: Optional[jax.Array] = None,
+    ):
+        if fantasize_method not in ("KB", "sample"):
+            raise ValueError(
+                f"fantasize_method must be 'KB' or 'sample', got {fantasize_method!r}"
+            )
+        if base_acquisition_function_builder is None:
+            base_acquisition_function_builder = ExpectedImprovement()
+        self._base_builder = base_acquisition_function_builder
+        self._fantasize_method = fantasize_method
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+
+    def _fantasize(self, model: FastUpdateModel, pending_points: jax.Array) -> Dataset:
+        if self._fantasize_method == "KB":
+            fantasy_obs, _ = model.predict(pending_points)
+        else:
+            self._key, sub = jax.random.split(self._key)
+            fantasy_obs = model.sample(sub, pending_points, 1)[0]
+        return Dataset.from_arrays(
+            pending_points, fantasy_obs, capacity=pending_points.shape[0]
+        )
+
+    def prepare_acquisition_function(
+        self,
+        model: ProbabilisticModel,
+        dataset: Optional[Dataset] = None,
+        pending_points: Optional[TensorType] = None,
+    ) -> AcquisitionFunction:
+        if not isinstance(model, FastUpdateModel):
+            raise NotImplementedError(
+                f"Fantasizer requires a FastUpdateModel, received {type(model)}"
+            )
+        if pending_points is None or jnp.size(pending_points) == 0:
+            return self._base_builder.prepare_acquisition_function(model, dataset)
+        fantasy_data = self._fantasize(model, jnp.asarray(pending_points))
+        fantasized = _FantasizedModel(model, fantasy_data)
+        # the fantasized dataset for eta includes the fantasy observations
+        full = dataset + fantasy_data if dataset is not None else fantasy_data
+        return self._base_builder.prepare_acquisition_function(fantasized, full)
+
+    def update_acquisition_function(
+        self,
+        function: AcquisitionFunction,
+        model: ProbabilisticModel,
+        dataset: Optional[Dataset] = None,
+        pending_points: Optional[TensorType] = None,
+        new_optimization_step: bool = True,
+    ) -> AcquisitionFunction:
+        return self.prepare_acquisition_function(model, dataset, pending_points)
+
+    def __repr__(self) -> str:
+        return f"Fantasizer({self._base_builder!r}, {self._fantasize_method!r})"

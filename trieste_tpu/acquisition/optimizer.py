@@ -105,6 +105,10 @@ def _as_vectorized(
         fn, V = f
     else:
         fn, V = f, None
+    if V is not None and hasattr(fn, "as_partial"):
+        # lazily-batched callables (e.g. PCTS trajectories) materialize their V-batch
+        # state here, where V is known, and hand back a pure pytree Partial
+        fn = fn.as_partial(V)
     if not isinstance(fn, Partial):
         # Plain callables become zero-leaf Partials: the function lands in the treedef
         # (static under jit) instead of being mistaken for an array leaf. Builders that
