@@ -459,23 +459,29 @@ class MultipleOptimismNegativeLowerConfidenceBound(
     def prepare_acquisition_function(
         self, model: ProbabilisticModel, dataset: Optional[Dataset] = None
     ) -> AcquisitionFunction:
-        return Partial(_monlcb_sampled_fn, predictor(model), self._key,
-                       jnp.asarray(float(getattr(self._search_space, "dimension", 1))))
+        return Partial(
+            _monlcb_fn_spread,
+            predictor(model),
+            jnp.asarray(float(getattr(self._search_space, "dimension", 1))),
+        )
 
     def update_acquisition_function(
         self, function, model, dataset=None
     ) -> AcquisitionFunction:
-        return Partial(_monlcb_sampled_fn, predictor(model), self._key, function.args[2])
+        return Partial(_monlcb_fn_spread, predictor(model), function.args[1])
 
     def __repr__(self) -> str:
         return "MultipleOptimismNegativeLowerConfidenceBound()"
 
 
-def _monlcb_sampled_fn(predict, key, dim, x):
-    """Sample per-slice betas from an exponential distribution scaled by sqrt(dim)
-    (reference ``function.py:1870-1912``), deterministically from the bound key."""
+def _monlcb_fn_spread(predict, dim, x):
+    """Per-slice betas via the CDF-spread method of Torossian et al.: slice v uses the
+    normal quantile of ``0.5 + 0.5 v/(V+1)``, scaled by ``5 * dim`` — slice 1 is nearly
+    pure exploitation, slice V strongly explores (reference ``function.py:1884-1911``)."""
+    from jax.scipy.special import ndtri
+
     x = jnp.asarray(x)
     V = x.shape[-2]
-    u = jax.random.uniform(key, (V,), dtype=x.dtype, minval=1e-6, maxval=1.0)
-    betas = jnp.sqrt(dim) * (-jnp.log(u))
+    spread = 0.5 + 0.5 * jnp.arange(1, V + 1, dtype=x.dtype) / (V + 1.0)
+    betas = 5.0 * dim * ndtri(spread)
     return _monlcb_fn(predict, betas, x)

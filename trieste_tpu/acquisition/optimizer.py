@@ -166,9 +166,21 @@ def _optimize_continuous_core(
     )  # [V, R, D]
     starts = starts.transpose(1, 0, 2)  # [R, V, D]
 
+    # per-slice normalization: slices are optimized through a shared line search on the
+    # sum, so wildly different magnitudes (e.g. small- vs large-beta LCB slices) would let
+    # one slice dominate the step-size choice; scaling by the best seed value equalizes
+    # them without changing any slice's argmax (gradients stay decoupled)
+    magnitudes = jnp.abs(top_vals[:, 0])  # [V]
+    ref_mag = jnp.max(magnitudes)
+    slice_scale = jnp.clip(
+        ref_mag / jnp.maximum(magnitudes, 1e-12 * jnp.maximum(ref_mag, 1e-300)),
+        1.0,
+        1e6,
+    )  # [V]; == 1 everywhere when V == 1
+
     def neg_sum_acq(xflat: jax.Array) -> jax.Array:
         x = xflat.reshape(V, D)
-        return -jnp.sum(acq(x[None])[0])
+        return -jnp.sum(acq(x[None])[0] * slice_scale)
 
     # freeze discrete dims per run by collapsing their box to the seeded value
     def run_bounds(start: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -27,14 +27,15 @@ def predictor(model) -> Callable[[TensorType], tuple[jax.Array, jax.Array]]:
     """
     if hasattr(model, "predict_partial"):
         return model.predict_partial()
-    return model.predict
+    # zero-leaf Partial: the bound method lands in the treedef (static under jit)
+    return Partial(model.predict)
 
 
 def joint_predictor(model) -> Callable[[TensorType], tuple[jax.Array, jax.Array]]:
     """Like :func:`predictor` for full-covariance predictions."""
     if hasattr(model, "predict_joint_partial"):
         return model.predict_joint_partial()
-    return model.predict_joint
+    return Partial(model.predict_joint)
 
 
 def split_acquisition_function(

@@ -236,6 +236,20 @@ class TrajectorySampler(ABC):
 # ---------------------------------------------------------------------------------
 
 
+def _stack_predict_pure(member_predictors, x):
+    means, vars_ = zip(*[p(x) for p in member_predictors])
+    return jnp.concatenate(means, axis=-1), jnp.concatenate(vars_, axis=-1)
+
+
+def _stack_predict_joint_pure(member_predictors, x):
+    means, covs = zip(*[p(x) for p in member_predictors])
+    return jnp.concatenate(means, axis=-1), jnp.concatenate(covs, axis=-3)
+
+
+def _stack_sample_pure(member_samplers, x):
+    return jnp.concatenate([s(x) for s in member_samplers], axis=-1)
+
+
 class ModelStack:
     """Fuse independent models over disjoint output slices into one multi-output model
     (reference ``interfaces.py:337-466``)."""
@@ -260,6 +274,39 @@ class ModelStack:
     def predict(self, query_points: TensorType) -> Tuple[jax.Array, jax.Array]:
         means, vars_ = zip(*[m.predict(query_points) for m in self._models])
         return jnp.concatenate(means, axis=-1), jnp.concatenate(vars_, axis=-1)
+
+    def predict_partial(self):
+        """Pytree Partial concatenating member marginal predictions (the stacks'
+        counterpart of the exact-GP no-retrace path)."""
+        from jax.tree_util import Partial
+
+        from ..acquisition.utils import predictor
+
+        return Partial(_stack_predict_pure, tuple(predictor(m) for m in self._models))
+
+    def predict_joint_partial(self):
+        from jax.tree_util import Partial
+
+        from ..acquisition.utils import joint_predictor
+
+        return Partial(
+            _stack_predict_joint_pure,
+            tuple(joint_predictor(m) for m in self._models),
+        )
+
+    def sample_joint_partial(self, num_samples: int, key: jax.Array):
+        """Key-frozen joint sampling over the stack, concatenating member outputs
+        (members must expose ``sample_joint_partial``)."""
+        from jax.tree_util import Partial
+
+        keys = jax.random.split(key, len(self._models))
+        return Partial(
+            _stack_sample_pure,
+            tuple(
+                m.sample_joint_partial(num_samples, k)
+                for m, k in zip(self._models, keys)
+            ),
+        )
 
     def sample(self, key: jax.Array, query_points: TensorType, num_samples: int) -> jax.Array:
         keys = jax.random.split(key, len(self._models))
