@@ -24,6 +24,11 @@ from ...ops.linalg import cho_solve, masked_cholesky, solve_lower
 from ...utils.misc import flatten_leading_dims, jitter_for
 
 
+def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Matmul at full fp32 accumulation (TPU default precision is bf16-grade)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 @struct.dataclass
 class GPRParams:
     """Exact-GPR hyperparameters: kernel + Gaussian likelihood + constant mean."""
@@ -92,7 +97,7 @@ def predict_f(
     """Marginal posterior: ``[..., D] -> mean [..., P], var [..., P]``."""
     flat, unflatten = flatten_leading_dims(query_points, output_dims=2)
     Kxn = _masked_cross_cov(params, cache, flat)  # [N, C]
-    mean = Kxn @ cache.alpha + params.mean_constant  # [N, P]
+    mean = _mm(Kxn, cache.alpha) + params.mean_constant  # [N, P]
     v = solve_lower(cache.L, Kxn.T)  # [C, N]
     var = params.kernel.diag(flat) - jnp.sum(jnp.square(v), axis=0)  # [N]
     var = jnp.maximum(var, 1e-24)
@@ -111,10 +116,10 @@ def predict_joint(
 
     def single(xb: jax.Array) -> Tuple[jax.Array, jax.Array]:
         Kxn = _masked_cross_cov(params, cache, xb)  # [B, C]
-        mean = Kxn @ cache.alpha + params.mean_constant  # [B, P]
+        mean = _mm(Kxn, cache.alpha) + params.mean_constant  # [B, P]
         v = solve_lower(cache.L, Kxn.T)  # [C, B]
         Kxx = gram(params.kernel, xb)  # [B, B]
-        cov = Kxx - v.T @ v  # [B, B]
+        cov = Kxx - _mm(v.T, v)  # [B, B]
         cov = jnp.broadcast_to(cov[None], (mean.shape[-1],) + cov.shape)
         return mean, cov
 
@@ -163,7 +168,7 @@ def covariance_between_points(
     v1 = solve_lower(cache.L, K1n.T)  # [C, N1]
     v2 = solve_lower(cache.L, K2n.T)  # [C, N2]
     K12 = gram(params.kernel, flat1, jnp.reshape(x2, (-1, x2.shape[-1])))
-    cov = K12 - v1.T @ v2
+    cov = K12 - _mm(v1.T, v2)
     return jnp.reshape(cov, x1.shape[:-1] + x2.shape[:-2] + (x2.shape[-2],))
 
 

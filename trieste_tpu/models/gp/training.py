@@ -71,7 +71,7 @@ def randomize_starts(
     params: GPRParams,
     num_starts: int,
     train_noise: bool = True,
-    log_spread: float = jnp.log(10.0),
+    log_spread: float = 2.302585092994046,  # ln(10)
 ) -> jax.Array:
     """``[R, P]`` initial vectors: the current parameters plus ``R-1`` log-uniform
     perturbations (the TPU analogue of the reference's prior/uniform randomization,

@@ -14,6 +14,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..space import Box, LinearConstraint, NonlinearConstraint, SearchSpace
 from ..types import TensorType
@@ -42,8 +43,8 @@ class ObjectiveTestProblem:
 class SingleObjectiveTestProblem(ObjectiveTestProblem):
     """A test problem with known global minimum (reference ``single_objectives.py:65-76``)."""
 
-    minimizers: jax.Array  # [N, D]
-    minimum: jax.Array  # [1]
+    minimizers: TensorType  # [N, D] (host numpy: no device transfer at import)
+    minimum: TensorType  # [1]
 
 
 def _as_objective(f: Callable[[jax.Array], jax.Array]) -> ObjectiveFn:
@@ -80,7 +81,7 @@ scaled_branin = _as_objective(_scaled_branin_raw)
 """Branin rescaled to the unit hypercube with standardized outputs
 (reference ``single_objectives.py:104-124``)."""
 
-_BRANIN_MINIMIZERS = jnp.array(
+_BRANIN_MINIMIZERS = np.array(
     [[-math.pi, 12.275], [math.pi, 2.275], [9.42478, 2.475]]
 )
 
@@ -89,15 +90,15 @@ Branin = SingleObjectiveTestProblem(
     objective=branin,
     search_space=Box([-5.0, 0.0], [10.0, 15.0]),
     minimizers=_BRANIN_MINIMIZERS,
-    minimum=jnp.array([0.397887]),
+    minimum=np.array([0.397887]),
 )
 
 ScaledBranin = SingleObjectiveTestProblem(
     name="Scaled Branin",
     objective=scaled_branin,
     search_space=Box([0.0, 0.0], [1.0, 1.0]),
-    minimizers=(_BRANIN_MINIMIZERS + jnp.array([5.0, 0.0])) / 15.0,
-    minimum=jnp.array([(0.397887 - 54.8104) / 51.9496]),
+    minimizers=(_BRANIN_MINIMIZERS + np.array([5.0, 0.0])) / 15.0,
+    minimum=np.array([(0.397887 - 54.8104) / 51.9496]),
 )
 
 
@@ -117,8 +118,8 @@ ConstrainedScaledBranin = SingleObjectiveTestProblem(
     name="Constrained Scaled Branin",
     objective=scaled_branin,
     search_space=Box([0.0, 0.0], [1.0, 1.0], constraints=[_nonlinear_branin_constraint()]),
-    minimizers=jnp.array([[0.16518, 0.66518]]),
-    minimum=jnp.array([-0.99888]),
+    minimizers=np.array([[0.16518, 0.66518]]),
+    minimum=np.array([-0.99888]),
 )
 
 
@@ -136,8 +137,8 @@ SimpleQuadratic = SingleObjectiveTestProblem(
     name="Simple Quadratic",
     objective=simple_quadratic,
     search_space=Box([0.0, 0.0], [1.0, 1.0]),
-    minimizers=jnp.array([[1.0, 1.0]]),
-    minimum=jnp.array([-2.0]),
+    minimizers=np.array([[1.0, 1.0]]),
+    minimum=np.array([-2.0]),
 )
 
 
@@ -153,8 +154,8 @@ GramacyLee = SingleObjectiveTestProblem(
     name="Gramacy & Lee",
     objective=gramacy_lee,
     search_space=Box([0.5], [2.5]),
-    minimizers=jnp.array([[0.548562]]),
-    minimum=jnp.array([-0.869011]),
+    minimizers=np.array([[0.548562]]),
+    minimum=np.array([-0.869011]),
 )
 
 
@@ -177,17 +178,17 @@ LogarithmicGoldsteinPrice = SingleObjectiveTestProblem(
     name="Logarithmic Goldstein-Price",
     objective=logarithmic_goldstein_price,
     search_space=Box([0.0, 0.0], [1.0, 1.0]),
-    minimizers=jnp.array([[0.5, 0.25]]),
-    minimum=jnp.array([-3.12913]),
+    minimizers=np.array([[0.5, 0.25]]),
+    minimum=np.array([-3.12913]),
 )
 
 
 # -- Hartmann family ----------------------------------------------------------------
 
-_H3_A = jnp.array(
+_H3_A = np.array(
     [[3.0, 10.0, 30.0], [0.1, 10.0, 35.0], [3.0, 10.0, 30.0], [0.1, 10.0, 35.0]]
 )
-_H3_P = jnp.array(
+_H3_P = np.array(
     [
         [0.3689, 0.1170, 0.2673],
         [0.4699, 0.4387, 0.7470],
@@ -195,7 +196,7 @@ _H3_P = jnp.array(
         [0.0381, 0.5743, 0.8828],
     ]
 )
-_H_ALPHA = jnp.array([1.0, 1.2, 3.0, 3.2])
+_H_ALPHA = np.array([1.0, 1.2, 3.0, 3.2])
 
 
 def _hartmann_3_raw(x: jax.Array) -> jax.Array:
@@ -210,11 +211,11 @@ Hartmann3 = SingleObjectiveTestProblem(
     name="Hartmann 3",
     objective=hartmann_3,
     search_space=Box([0.0] * 3, [1.0] * 3),
-    minimizers=jnp.array([[0.114614, 0.555649, 0.852547]]),
-    minimum=jnp.array([-3.86278]),
+    minimizers=np.array([[0.114614, 0.555649, 0.852547]]),
+    minimum=np.array([-3.86278]),
 )
 
-_H6_A = jnp.array(
+_H6_A = np.array(
     [
         [10.0, 3.0, 17.0, 3.5, 1.7, 8.0],
         [0.05, 10.0, 17.0, 0.1, 8.0, 14.0],
@@ -222,7 +223,7 @@ _H6_A = jnp.array(
         [17.0, 8.0, 0.05, 10.0, 0.1, 14.0],
     ]
 )
-_H6_P = jnp.array(
+_H6_P = np.array(
     [
         [0.1312, 0.1696, 0.5569, 0.0124, 0.8283, 0.5886],
         [0.2329, 0.4135, 0.8307, 0.3736, 0.1004, 0.9991],
@@ -244,17 +245,17 @@ Hartmann6 = SingleObjectiveTestProblem(
     name="Hartmann 6",
     objective=hartmann_6,
     search_space=Box([0.0] * 6, [1.0] * 6),
-    minimizers=jnp.array(
+    minimizers=np.array(
         [[0.20169, 0.150011, 0.476874, 0.275332, 0.311652, 0.6573]]
     ),
-    minimum=jnp.array([-3.32237]),
+    minimum=np.array([-3.32237]),
 )
 
 
 # -- Shekel -------------------------------------------------------------------------
 
-_SHEKEL_BETA = jnp.array([1, 2, 2, 4, 4, 6, 3, 7, 5, 5]) / 10.0
-_SHEKEL_C = jnp.array(
+_SHEKEL_BETA = np.array([1, 2, 2, 4, 4, 6, 3, 7, 5, 5], dtype=np.float64) / 10.0
+_SHEKEL_C = np.array(
     [
         [4.0, 1.0, 8.0, 6.0, 3.0, 2.0, 5.0, 8.0, 6.0, 7.0],
         [4.0, 1.0, 8.0, 6.0, 7.0, 9.0, 3.0, 1.0, 2.0, 3.6],
@@ -279,8 +280,8 @@ Shekel4 = SingleObjectiveTestProblem(
     name="Shekel 4",
     objective=shekel_4,
     search_space=Box([0.0] * 4, [1.0] * 4),
-    minimizers=jnp.array([[0.4, 0.4, 0.4, 0.4]]),
-    minimum=jnp.array([(-10.5363 + 1.0) / 2.73]),
+    minimizers=np.array([[0.4, 0.4, 0.4, 0.4]]),
+    minimum=np.array([(-10.5363 + 1.0) / 2.73]),
 )
 
 
@@ -309,8 +310,8 @@ Levy8 = SingleObjectiveTestProblem(
     name="Levy 8",
     objective=levy_8,
     search_space=Box([0.0] * 8, [1.0] * 8),
-    minimizers=(jnp.ones((1, 8)) + 10.0) / 20.0,
-    minimum=jnp.array([0.0]),
+    minimizers=(np.ones((1, 8)) + 10.0) / 20.0,
+    minimum=np.array([0.0]),
 )
 
 
@@ -333,8 +334,9 @@ Rosenbrock4 = SingleObjectiveTestProblem(
     name="Rosenbrock 4",
     objective=rosenbrock_4,
     search_space=Box([0.0] * 4, [1.0] * 4),
-    minimizers=(jnp.ones((1, 4)) + 2.048) / 4.1,
-    minimum=rosenbrock_4((jnp.ones((1, 4)) + 2.048) / 4.1)[0],
+    minimizers=(np.ones((1, 4)) + 2.048) / 4.1,
+    # pure-host evaluation of the standardized minimum (x*=1 -> raw 0): no device op
+    minimum=np.array([(0.0 - 3.827e3) / 3.755e3]),
 )
 
 
@@ -354,8 +356,8 @@ Ackley5 = SingleObjectiveTestProblem(
     name="Ackley 5",
     objective=ackley_5,
     search_space=Box([0.0] * 5, [1.0] * 5),
-    minimizers=jnp.full((1, 5), 32.768 / 65.536),
-    minimum=jnp.array([0.0]),
+    minimizers=np.full((1, 5), 32.768 / 65.536),
+    minimum=np.array([0.0]),
 )
 
 
@@ -376,8 +378,8 @@ def _make_michalewicz(d: int, minimizer: Sequence[float], minimum: float):
         name=f"Michalewicz {d}",
         objective=obj,
         search_space=Box([0.0] * d, [math.pi] * d),
-        minimizers=jnp.array([minimizer]),
-        minimum=jnp.array([minimum]),
+        minimizers=np.array([minimizer]),
+        minimum=np.array([minimum]),
     )
 
 
@@ -417,7 +419,7 @@ def _make_trid(d: int) -> SingleObjectiveTestProblem:
         objective=trid,
         search_space=Box([-(d**2.0)] * d, [d**2.0] * d),
         minimizers=minimizer[None, :],
-        minimum=jnp.array([minimum]),
+        minimum=np.array([minimum]),
     )
 
 

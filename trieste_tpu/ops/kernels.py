@@ -77,7 +77,11 @@ def scaled_squared_distance(
     b = b / lengthscales
     a2 = jnp.sum(jnp.square(a), axis=-1)
     b2 = jnp.sum(jnp.square(b), axis=-1)
-    ab = jnp.einsum("...nd,...md->...nm", a, b)
+    # full fp32 accumulation: TPU default matmul precision is bf16-grade, which is far
+    # too coarse for kernel matrices feeding Cholesky factorizations
+    ab = jnp.einsum(
+        "...nd,...md->...nm", a, b, precision=jax.lax.Precision.HIGHEST
+    )
     r2 = a2[..., :, None] + b2[..., None, :] - 2.0 * ab
     return jnp.maximum(r2, 0.0)
 

@@ -327,15 +327,18 @@ class Box(SearchSpace):
         upper: TensorType,
         constraints: Optional[Sequence[Constraint]] = None,
     ):
-        lower = jnp.asarray(lower, default_float())
-        upper = jnp.asarray(upper, default_float())
+        # bounds are kept host-side (numpy): Box construction at import/config time must
+        # not touch the device (the axon TPU tunnel makes eager ops expensive), and numpy
+        # constants embed into jitted programs for free
+        lower = np.asarray(lower, default_float())
+        upper = np.asarray(upper, default_float())
         if lower.ndim != 1 or upper.ndim != 1:
             raise ValueError("bounds must be rank 1")
         if lower.shape != upper.shape:
             raise ValueError(f"bound shapes differ: {lower.shape} vs {upper.shape}")
         if lower.shape[0] == 0:
             raise ValueError("bounds must be non-empty")
-        if not bool(jnp.all(lower < upper)):
+        if not bool(np.all(lower < upper)):
             raise ValueError("lower must be strictly less than upper")
         self._lower = lower
         self._upper = upper
@@ -343,11 +346,11 @@ class Box(SearchSpace):
 
     @property
     def lower(self) -> jax.Array:
-        return self._lower
+        return jnp.asarray(self._lower)
 
     @property
     def upper(self) -> jax.Array:
-        return self._upper
+        return jnp.asarray(self._upper)
 
     @property
     def dimension(self) -> int:
@@ -358,12 +361,12 @@ class Box(SearchSpace):
         return self._constraints
 
     def _contains(self, value: TensorType) -> jax.Array:
-        return jnp.all((self._lower <= value) & (value <= self._upper), axis=-1)
+        return jnp.all((value >= self._lower) & (value <= self._upper), axis=-1)
 
     def sample(self, key: jax.Array, num_samples: int) -> jax.Array:
         """Uniform sampling (reference ``space.py:843-860``)."""
         u = jax.random.uniform(
-            key, (num_samples, self.dimension), dtype=self._lower.dtype
+            key, (num_samples, self.dimension), dtype=jnp.dtype(self._lower.dtype)
         )
         return self._lower + u * (self._upper - self._lower)
 
@@ -439,16 +442,16 @@ class Box(SearchSpace):
     def __mul__(self, other: SearchSpace) -> SearchSpace:
         if isinstance(other, Box):
             return Box(
-                jnp.concatenate([self._lower, other._lower]),
-                jnp.concatenate([self._upper, other._upper]),
+                np.concatenate([self._lower, other._lower]),
+                np.concatenate([self._upper, other._upper]),
             )
         return TaggedProductSearchSpace([self, other])
 
     def __eq__(self, other: object) -> bool:
         return (
             isinstance(other, Box)
-            and bool(jnp.array_equal(self._lower, other._lower))
-            and bool(jnp.array_equal(self._upper, other._upper))
+            and bool(np.array_equal(self._lower, other._lower))
+            and bool(np.array_equal(self._upper, other._upper))
         )
 
     def __repr__(self) -> str:

@@ -40,8 +40,9 @@ DEFAULTS = _Defaults()
 
 def default_float() -> jnp.dtype:
     """The default floating dtype: float64 iff JAX x64 is enabled (CPU/testing parity with
-    the reference, which defaults to f64 — ``space.py:37``), float32 otherwise (TPU)."""
-    return jnp.asarray(0.0).dtype
+    the reference, which defaults to f64 — ``space.py:37``), float32 otherwise (TPU).
+    Computed without touching the device (cheap at import time)."""
+    return jnp.dtype(jnp.float64) if jax.config.jax_enable_x64 else jnp.dtype(jnp.float32)
 
 
 def jitter_for(dtype: Any) -> float:
