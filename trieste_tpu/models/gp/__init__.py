@@ -1,7 +1,7 @@
 """Exact and sparse Gaussian-process models (TPU-native replacement for the reference's
 ``trieste/models/gpflow`` backend)."""
 
-from .builders import build_gpr, default_gpr_params
+from .builders import build_gpr, build_sgpr, build_svgp, default_gpr_params
 from .gpr import GaussianProcessRegression
 from .posterior import GPRCache, GPRParams
 from .sampler import (
@@ -10,9 +10,37 @@ from .sampler import (
     IndependentReparametrizationSampler,
     RandomFourierFeatureTrajectorySampler,
 )
+from .inducing_points import (
+    ConditionalImprovementReduction,
+    ConditionalVarianceReduction,
+    DPPInducingPointSelector,
+    InducingPointSelector,
+    KMeansInducingPointSelector,
+    RandomSubSampleInducingPointSelector,
+    UniformInducingPointSelector,
+)
+from .sparse import (
+    SGPRParams,
+    SparseGaussianProcessRegression,
+    SparseVariational,
+    SVGPParams,
+)
 from .training import fit_gpr
 
 __all__ = [
+    "build_sgpr",
+    "build_svgp",
+    "SGPRParams",
+    "SVGPParams",
+    "SparseGaussianProcessRegression",
+    "SparseVariational",
+    "InducingPointSelector",
+    "KMeansInducingPointSelector",
+    "UniformInducingPointSelector",
+    "RandomSubSampleInducingPointSelector",
+    "ConditionalVarianceReduction",
+    "ConditionalImprovementReduction",
+    "DPPInducingPointSelector",
     "build_gpr",
     "default_gpr_params",
     "GaussianProcessRegression",

@@ -17,6 +17,9 @@ from ...ops.kernels import MATERN52, stationary
 from .gpr import GaussianProcessRegression
 from .posterior import GPRParams
 
+NUM_INDUCING_POINTS_PER_DIM = 25
+"""Default inducing points per input dimension (role of reference ``builders.py:66-73``)."""
+
 SIGNAL_NOISE_RATIO_LIKELIHOOD = 10.0
 """Default signal-to-noise ratio used to initialize the likelihood variance
 (role of reference ``builders.py:75-83``)."""
@@ -74,5 +77,94 @@ def build_gpr(
         num_kernel_samples=num_kernel_samples,
         train_noise=trainable_likelihood,
         num_rff_features=num_rff_features,
+        optimize_key=optimize_key,
+    )
+
+
+def build_sgpr(
+    dataset: Dataset,
+    search_space: SearchSpace,
+    *,
+    kernel_kind: str = MATERN52,
+    likelihood_variance: Optional[float] = None,
+    trainable_likelihood: bool = True,
+    num_inducing_points: Optional[int] = None,
+    trainable_inducing: bool = True,
+    inducing_point_selector: Optional[object] = None,
+    optimize_key: Optional[jax.Array] = None,
+):
+    """Build a :class:`SparseGaussianProcessRegression` (role of reference
+    ``builders.py:179-279``): Matérn-5/2 ARD kernel, inducing points initialized by
+    k-means over the data (uniform if too few points)."""
+    from .inducing_points import KMeansInducingPointSelector
+    from .sparse import SGPRParams, SparseGaussianProcessRegression
+
+    base = default_gpr_params(
+        dataset, search_space, kernel_kind=kernel_kind, likelihood_variance=likelihood_variance
+    )
+    M = num_inducing_points or min(
+        NUM_INDUCING_POINTS_PER_DIM * search_space.dimension, 500
+    )
+    selector = inducing_point_selector
+    Z0 = KMeansInducingPointSelector(key=jax.random.PRNGKey(7))._recalculate_inducing_points(
+        M, None, dataset
+    )
+    params = SGPRParams(
+        kernel=base.kernel,
+        noise_variance=base.noise_variance,
+        mean_constant=base.mean_constant,
+        inducing_points=Z0,
+    )
+    return SparseGaussianProcessRegression(
+        params,
+        dataset,
+        inducing_point_selector=selector,
+        train_noise=trainable_likelihood,
+        train_inducing=trainable_inducing,
+        optimize_key=optimize_key,
+    )
+
+
+def build_svgp(
+    dataset: Dataset,
+    search_space: SearchSpace,
+    *,
+    kernel_kind: str = MATERN52,
+    likelihood_variance: Optional[float] = None,
+    trainable_likelihood: bool = True,
+    num_inducing_points: Optional[int] = None,
+    inducing_point_selector: Optional[object] = None,
+    optimize_key: Optional[jax.Array] = None,
+):
+    """Build a :class:`SparseVariational` SVGP (role of reference ``builders.py:383-475``)."""
+    import jax.numpy as jnp
+
+    from .inducing_points import KMeansInducingPointSelector
+    from .sparse import SVGPParams, SparseVariational
+
+    base = default_gpr_params(
+        dataset, search_space, kernel_kind=kernel_kind, likelihood_variance=likelihood_variance
+    )
+    M = num_inducing_points or min(
+        NUM_INDUCING_POINTS_PER_DIM * search_space.dimension, 500
+    )
+    Z0 = KMeansInducingPointSelector(key=jax.random.PRNGKey(9))._recalculate_inducing_points(
+        M, None, dataset
+    )
+    P = dataset.num_outputs
+    dtype = dataset.query_points.dtype
+    params = SVGPParams(
+        kernel=base.kernel,
+        noise_variance=base.noise_variance,
+        mean_constant=base.mean_constant,
+        inducing_points=Z0,
+        q_mu=jnp.zeros((Z0.shape[0], P), dtype),
+        q_sqrt=jnp.broadcast_to(jnp.eye(Z0.shape[0], dtype=dtype)[None], (P, Z0.shape[0], Z0.shape[0])),
+    )
+    return SparseVariational(
+        params,
+        dataset,
+        inducing_point_selector=inducing_point_selector,
+        train_noise=trainable_likelihood,
         optimize_key=optimize_key,
     )

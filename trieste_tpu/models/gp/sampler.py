@@ -288,3 +288,66 @@ class RandomFourierFeatureTrajectorySampler(TrajectorySampler):
         return RFFTrajectory(
             mean_constant=params.mean_constant, features=features, theta=theta
         )
+
+
+@struct.dataclass
+class DecoupledInducingTrajectory(TrajectoryFunctionClass):
+    """Matheron-rule draw through inducing variables (Wilson et al.; reference decoupled
+    sampling for SGPR/SVGP, ``sampler.py:594-740``):
+    ``f_b(x) = mean + phi(x) w_b + k(x, Z) Kuu^{-1} (u_b - phi(Z) w_b)`` with
+    ``u_b ~ q(u)``."""
+
+    mean_constant: jax.Array
+    kernel: Stationary
+    Z: jax.Array  # [M, D]
+    L_uu: jax.Array  # chol(Kuu) [M, M]
+    features: FourierFeatures
+    w: jax.Array  # [B, m]
+    v: jax.Array  # [B, M] -- Kuu^{-1}(u_b - phi(Z) w_b)
+
+    def __call__(self, x: TensorType) -> jax.Array:
+        x = jnp.asarray(x)  # [N, B, D]
+        phi = self.features(x)  # [N, B, m]
+        prior = jnp.einsum("nbm,bm->nb", phi, self.w)
+        kxz = gram(self.kernel, x, self.Z)  # [N, B, M]
+        update = jnp.einsum("nbk,bk->nb", kxz, self.v)
+        return (self.mean_constant + prior + update)[..., None]
+
+
+class DecoupledInducingTrajectorySampler(TrajectorySampler):
+    """Decoupled trajectory sampling for models exposing ``get_inducing_variables``
+    (SGPR / SVGP)."""
+
+    def __init__(self, model, num_features: int = 1000):
+        super().__init__(model)
+        self._num_features = num_features
+
+    def get_trajectory(self, key: jax.Array, batch_size: int = 1) -> TrajectoryFunction:
+        params = self._model.params
+        Z, q_mu, q_sqrt, whiten = self._model.get_inducing_variables()
+        M, D = Z.shape
+        dtype = Z.dtype
+        k_feat, k_w, k_u = jax.random.split(key, 3)
+        features = make_fourier_features(k_feat, params.kernel, self._num_features, D)
+        w = jax.random.normal(k_w, (batch_size, self._num_features), dtype=dtype)
+        Kuu = gram(params.kernel, Z) + 1e-6 * jnp.eye(M, dtype=dtype)
+        L_uu = jnp.linalg.cholesky(Kuu)
+        # sample u_b ~ q(u) (first output dim)
+        eps = jax.random.normal(k_u, (batch_size, M), dtype=dtype)
+        qs = q_sqrt[0]
+        v_sample = q_mu[:, 0][None, :] + jnp.einsum("mk,bk->bm", qs, eps)
+        u_sample = (
+            jnp.einsum("mk,bk->bm", L_uu, v_sample) if whiten else v_sample
+        )
+        phi_Z = features(Z)  # [M, m]
+        resid = u_sample - w @ phi_Z.T  # [B, M]
+        v = jax.scipy.linalg.cho_solve((L_uu, True), resid.T).T  # [B, M]
+        return DecoupledInducingTrajectory(
+            mean_constant=params.mean_constant,
+            kernel=params.kernel,
+            Z=Z,
+            L_uu=L_uu,
+            features=features,
+            w=w,
+            v=v,
+        )
