@@ -26,8 +26,12 @@ from .sparse import (
     SVGPParams,
 )
 from .training import fit_gpr
+from .vgp import VariationalGaussianProcess, VGPParams, build_vgp_classifier
 
 __all__ = [
+    "VariationalGaussianProcess",
+    "VGPParams",
+    "build_vgp_classifier",
     "build_sgpr",
     "build_svgp",
     "SGPRParams",
