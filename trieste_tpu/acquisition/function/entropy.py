@@ -10,7 +10,7 @@ discretization; the MC average over samples is a single vectorized device comput
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -233,3 +233,137 @@ class GIBBON(SingleModelGreedyAcquisitionBuilder):
 
     def __repr__(self) -> str:
         return f"GIBBON({self._mes._search_space!r})"
+
+
+# ---------------------------------------------------------------------------------
+# Multifidelity entropy search (reference entropy.py:634-791)
+# ---------------------------------------------------------------------------------
+
+
+def _mumbo_fn(
+    predict: Callable,
+    cov_with_top: Callable,
+    predict_top: Callable,
+    noise_variance: jax.Array,
+    min_value_samples: jax.Array,
+    x: TensorType,
+) -> jax.Array:
+    """MUMBO quality (reference ``entropy.py:634-791``) in its information-lower-bound
+    form: an observation at fidelity m informs the top-fidelity minimum through the
+    correlation ``rho(x) = cov(y_m, f_top) / sqrt(var(y_m) var(f_top))``."""
+    xq = jnp.asarray(x)[..., 0, :]  # [..., D+1] (with fidelity column)
+    mean_m, var_m = predict(xq)
+    var_y = jnp.maximum(var_m, CLAMP_LB) + noise_variance
+    cov_mt = cov_with_top(xq)  # [..., 1]
+    mean_t, var_t = predict_top(xq)
+    var_t = jnp.maximum(var_t, CLAMP_LB)
+    rho2 = jnp.clip(jnp.square(cov_mt) / (var_y * var_t), 0.0, 1.0 - CLAMP_LB)
+    std_t = jnp.sqrt(var_t)
+    gamma = (min_value_samples[:, 0] - mean_t) / std_t  # [..., S]
+    minus_cdf = jnp.clip(1.0 - norm.cdf(gamma), CLAMP_LB, 1.0)
+    ratio = norm.pdf(gamma) / minus_cdf
+    trunc_ratio = jnp.clip(1.0 - ratio * (ratio - gamma), CLAMP_LB, 1.0)
+    inner = jnp.clip(1.0 - rho2 * (1.0 - trunc_ratio), CLAMP_LB, 1.0)
+    return -0.5 * jnp.mean(jnp.log(inner), axis=-1, keepdims=True)
+
+
+class MUMBO(SingleModelAcquisitionBuilder):
+    """MUlti-task Max-value Bayesian Optimization: multifidelity MES
+    (reference ``entropy.py:634-791``). Requires a model exposing
+    ``covariance_with_top_fidelity`` and a search space whose trailing coordinate is the
+    fidelity."""
+
+    def __init__(
+        self,
+        search_space: SearchSpace,
+        num_samples: int = 5,
+        grid_size: int = 1000,
+        min_value_sampler: Optional[ThompsonSampler] = None,
+        *,
+        key: Optional[jax.Array] = None,
+    ):
+        self._mes = MinValueEntropySearch(
+            search_space, num_samples, grid_size, min_value_sampler, key=key
+        )
+
+    def prepare_acquisition_function(
+        self, model, dataset: Optional[Dataset] = None
+    ) -> AcquisitionFunction:
+        from ...models.interfaces import SupportsCovarianceWithTopFidelity
+
+        if not isinstance(model, SupportsCovarianceWithTopFidelity):
+            raise ValueError("MUMBO requires a multifidelity model")
+        if dataset is None or len(dataset) == 0:
+            raise ValueError("MUMBO requires a non-empty dataset")
+
+        num_fid = model.num_fidelities
+        # min-value samples of the TOP fidelity process over a grid at top fidelity
+        top_view = _TopFidelityView(model, num_fid - 1)
+        self._mes._key, k_grid, k_sample = jax.random.split(self._mes._key, 3)
+        grid = self._mes._search_space.sample(k_grid, self._mes._grid_size)
+        grid = grid.at[:, -1].set(float(num_fid - 1))
+        samples = self._mes._sampler.sample(
+            top_view, self._mes._num_samples, grid, key=k_sample
+        )
+        noise = (
+            model.get_observation_noise()
+            if hasattr(model, "get_observation_noise")
+            else jnp.asarray(0.0)
+        )
+        return Partial(
+            _mumbo_fn,
+            Partial(model.predict),
+            Partial(model.covariance_with_top_fidelity),
+            Partial(top_view.predict),
+            jnp.asarray(noise),
+            samples,
+        )
+
+    def update_acquisition_function(self, function, model, dataset=None):
+        return self.prepare_acquisition_function(model, dataset)
+
+    def __repr__(self) -> str:
+        return "MUMBO()"
+
+
+class _TopFidelityView:
+    """Expose a multifidelity model as a plain model at its top fidelity."""
+
+    def __init__(self, model, top: int):
+        self._model = model
+        self._top = float(top)
+
+    def predict(self, x):
+        x = jnp.asarray(x)
+        x_top = x.at[..., -1].set(self._top)
+        return self._model.predict(x_top)
+
+    def sample(self, key, x, num_samples):
+        x = jnp.asarray(x)
+        x_top = x.at[..., -1].set(self._top)
+        return self._model.sample(key, x_top, num_samples)
+
+
+def _cost_weighted_fn(base: Callable, costs: jax.Array, x: TensorType) -> jax.Array:
+    """Divide by the per-fidelity observation cost (reference ``CostWeighting``,
+    ``entropy.py:792-850``)."""
+    xq = jnp.asarray(x)
+    fid = xq[..., 0, -1].astype(jnp.int32)
+    return base(x) / costs[fid][..., None]
+
+
+class CostWeighting(SingleModelAcquisitionBuilder):
+    """(reference ``entropy.py:792-850``)"""
+
+    def __init__(self, observation_costs: Sequence[float]):
+        self._costs = jnp.asarray(observation_costs, dtype=float)
+
+    def prepare_acquisition_function(
+        self, model, dataset: Optional[Dataset] = None
+    ) -> AcquisitionFunction:
+        raise NotImplementedError(
+            "CostWeighting wraps another acquisition; use apply_to(base_fn)"
+        )
+
+    def apply_to(self, base_fn: AcquisitionFunction) -> AcquisitionFunction:
+        return Partial(_cost_weighted_fn, base_fn, self._costs)

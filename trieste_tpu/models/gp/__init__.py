@@ -27,8 +27,16 @@ from .sparse import (
 )
 from .training import fit_gpr
 from .vgp import VariationalGaussianProcess, VGPParams, build_vgp_classifier
+from .multifidelity import (
+    MultifidelityAutoregressive,
+    MultifidelityNonlinearAutoregressive,
+    build_multifidelity_autoregressive_models,
+)
 
 __all__ = [
+    "MultifidelityAutoregressive",
+    "MultifidelityNonlinearAutoregressive",
+    "build_multifidelity_autoregressive_models",
     "VariationalGaussianProcess",
     "VGPParams",
     "build_vgp_classifier",
