@@ -27,6 +27,7 @@ from .sparse import (
 )
 from .training import fit_gpr
 from .vgp import VariationalGaussianProcess, VGPParams, build_vgp_classifier
+from .mcmc import GaussianProcessRegressionMCMC, build_gpr_mcmc
 from .multifidelity import (
     MultifidelityAutoregressive,
     MultifidelityNonlinearAutoregressive,
@@ -34,6 +35,8 @@ from .multifidelity import (
 )
 
 __all__ = [
+    "GaussianProcessRegressionMCMC",
+    "build_gpr_mcmc",
     "MultifidelityAutoregressive",
     "MultifidelityNonlinearAutoregressive",
     "build_multifidelity_autoregressive_models",

@@ -2,6 +2,7 @@
 vmappable L-BFGS. This layer replaces the reference's delegation to TF/GPflow C++ ops and
 scipy (SURVEY.md §2.10 "Native-code inventory")."""
 
+from .hmc import HMCResults, hmc_sample
 from .lbfgs import LBFGSResults, minimize_lbfgs, vmapped_minimize_lbfgs
 from .linalg import (
     add_jitter,
@@ -14,6 +15,8 @@ from .linalg import (
 from .qmc import halton_sample, sobol_sample
 
 __all__ = [
+    "HMCResults",
+    "hmc_sample",
     "LBFGSResults",
     "minimize_lbfgs",
     "vmapped_minimize_lbfgs",
