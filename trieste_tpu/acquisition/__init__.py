@@ -1,11 +1,18 @@
 """The acquisition layer (reference ``trieste/acquisition``)."""
 
+from .function.multi_objective import (
+    BatchMonteCarloExpectedHypervolumeImprovement,
+    ExpectedConstrainedHypervolumeImprovement,
+    ExpectedHypervolumeImprovement,
+    HIPPO,
+)
 from .function import (
     AugmentedExpectedImprovement,
     BatchMonteCarloExpectedImprovement,
     ExpectedConstrainedImprovement,
     ExpectedImprovement,
     MakePositive,
+    MonteCarloAugmentedExpectedImprovement,
     MonteCarloExpectedImprovement,
     MultipleOptimismNegativeLowerConfidenceBound,
     NegativeLowerConfidenceBound,
@@ -43,6 +50,11 @@ from .rule import (
 )
 from .trust_region import (
     BatchTrustRegion,
+    BatchTrustRegionProduct,
+    FixedPointTrustRegionDiscrete,
+    SingleObjectiveTrustRegionDiscrete,
+    UpdatableTrustRegionDiscrete,
+    UpdatableTrustRegionProduct,
     BatchTrustRegionBox,
     BatchTrustRegionState,
     SingleObjectiveTrustRegionBox,

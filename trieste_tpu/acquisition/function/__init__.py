@@ -7,6 +7,7 @@ from .function import (
     ExpectedImprovement,
     FastConstraintsFeasibility,
     MakePositive,
+    MonteCarloAugmentedExpectedImprovement,
     MonteCarloExpectedImprovement,
     MultipleOptimismNegativeLowerConfidenceBound,
     NegativeLowerConfidenceBound,
@@ -23,6 +24,7 @@ __all__ = [
     "ExpectedImprovement",
     "FastConstraintsFeasibility",
     "MakePositive",
+    "MonteCarloAugmentedExpectedImprovement",
     "MonteCarloExpectedImprovement",
     "MultipleOptimismNegativeLowerConfidenceBound",
     "NegativeLowerConfidenceBound",

@@ -124,6 +124,20 @@ def _mc_ei_fn(sample: Callable, eta: jax.Array, x: TensorType) -> jax.Array:
     return jnp.mean(improvement, axis=-2)
 
 
+def _mc_aei_fn(
+    sample: Callable, predict: Callable, eta: jax.Array, noise_variance: jax.Array,
+    x: TensorType,
+) -> jax.Array:
+    """Monte-Carlo augmented EI (reference ``MonteCarloAugmentedExpectedImprovement``,
+    ``function.py:923-1073``): MC EI times the noise augmentation factor."""
+    samples = sample(jnp.asarray(x))  # [..., S, 1, L]
+    improvement = jnp.maximum(eta - samples[..., 0], 0.0)
+    ei = jnp.mean(improvement, axis=-2)
+    _, var = predict(jnp.asarray(x)[..., 0, :])
+    augmentation = 1.0 - jnp.sqrt(noise_variance) / jnp.sqrt(noise_variance + var)
+    return ei * augmentation[..., 0:1]
+
+
 def _batch_mc_ei_fn(sample: Callable, eta: jax.Array, x: TensorType) -> jax.Array:
     """Batch Monte-Carlo (q)EI (reference ``BatchMonteCarloExpectedImprovement``,
     ``function.py:1074-1188``). ``x: [..., B, D] -> [..., 1]``."""
@@ -421,6 +435,33 @@ def _sample_fn_for(model: ProbabilisticModel, sample_size: int, key: jax.Array, 
         )
     sampler = model.reparam_sampler(sample_size)
     return Partial(functools.partial(_frozen_sample, sampler, key))
+
+
+class MonteCarloAugmentedExpectedImprovement(SingleModelAcquisitionBuilder):
+    """MC augmented EI for noisy problems (reference ``function.py:923-1073``)."""
+
+    def __init__(self, sample_size: int, *, key: Optional[jax.Array] = None):
+        if sample_size <= 0:
+            raise ValueError(f"sample_size must be positive, got {sample_size}")
+        self._sample_size = sample_size
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+
+    def prepare_acquisition_function(
+        self, model: ProbabilisticModel, dataset: Optional[Dataset] = None
+    ) -> AcquisitionFunction:
+        dataset = _validate_dataset(dataset, "MonteCarloAugmentedExpectedImprovement")
+        if not hasattr(model, "get_observation_noise"):
+            raise NotImplementedError(
+                "MonteCarloAugmentedExpectedImprovement requires observation noise"
+            )
+        eta = _min_posterior_mean(model, dataset)
+        sample_fn = _sample_fn_for(model, self._sample_size, self._key, joint=False)
+        return Partial(
+            _mc_aei_fn, sample_fn, predictor(model), eta, model.get_observation_noise()
+        )
+
+    def __repr__(self) -> str:
+        return f"MonteCarloAugmentedExpectedImprovement({self._sample_size!r})"
 
 
 class BatchMonteCarloExpectedImprovement(SingleModelAcquisitionBuilder):

@@ -27,7 +27,15 @@ import numpy as np
 from ..data import Dataset
 from ..models.interfaces import ProbabilisticModel
 from ..observer import OBJECTIVE
-from ..space import Box, SearchSpace, TaggedMultiSearchSpace
+from ..space import (
+    Box,
+    CategoricalSearchSpace,
+    DiscreteSearchSpace,
+    GeneralDiscreteSearchSpace,
+    SearchSpace,
+    TaggedMultiSearchSpace,
+    TaggedProductSearchSpace,
+)
 from ..types import Tag, TensorType
 from ..utils.misc import LocalizedTag, get_value_for_tag
 from .rule import AcquisitionRule, EfficientGlobalOptimization, LocalDatasetsAcquisitionRule
@@ -39,6 +47,16 @@ class UpdatableTrustRegion(SearchSpace):
 
     def __init__(self, region_index: Optional[int] = None):
         self.region_index = region_index
+        self.input_active_dims: Optional[Tuple[int, int]] = None  # (start, end) slice
+
+    def with_input_active_dims(self, x: TensorType) -> jax.Array:
+        """Slice this region's active input columns (reference ``input_active_dims``,
+        ``rule.py:1106-1165``) — used by product regions over mixed spaces."""
+        x = jnp.asarray(x)
+        if self.input_active_dims is None:
+            return x
+        lo, hi = self.input_active_dims
+        return x[..., lo:hi]
 
     @property
     def requires_initialization(self) -> bool:
@@ -320,6 +338,7 @@ class SingleObjectiveTrustRegionBox(UpdatableTrustRegionBox):
         if ds is None or len(ds) == 0:
             return None, np.inf
         qp, obs = ds.astuple()
+        qp = self.with_input_active_dims(qp)
         inside = np.asarray(Box.contains(self, qp))
         if not inside.any():
             return None, np.inf
@@ -473,6 +492,7 @@ class TURBOBox(UpdatableTrustRegionBox):
         ds = self._get_tagged_dataset(datasets)
         if ds is not None and len(ds) > 0:
             qp, obs = ds.astuple()
+            qp = self.with_input_active_dims(qp)
             idx = int(jnp.argmin(obs[:, 0]))
             self.location = qp[idx]
             self._y_min = min(self._y_min, float(obs[idx, 0]))
@@ -517,3 +537,242 @@ class TURBOBox(UpdatableTrustRegionBox):
             self.initialize(models, datasets)
             return
         self._resize(models, datasets)
+
+
+# ---------------------------------------------------------------------------------
+# Discrete regions (reference rule.py:2221-2388)
+# ---------------------------------------------------------------------------------
+
+
+class UpdatableTrustRegionDiscrete(GeneralDiscreteSearchSpace, UpdatableTrustRegion):
+    """A trust region over a finite global point set: the region is a neighborhood
+    (Euclidean over normalized numerics, Hamming for categoricals) around a location
+    (reference ``rule.py:2221-2294``)."""
+
+    def __init__(
+        self,
+        global_search_space: GeneralDiscreteSearchSpace,
+        region_index: Optional[int] = None,
+    ):
+        self._global_search_space = global_search_space
+        GeneralDiscreteSearchSpace.__init__(self, global_search_space.points)
+        UpdatableTrustRegion.__init__(self, region_index)
+
+    @property
+    def global_search_space(self) -> GeneralDiscreteSearchSpace:
+        return self._global_search_space
+
+    def _distances(self, location: jax.Array) -> jax.Array:
+        """Per-point distance to ``location`` over the global point set."""
+        pts = self._global_search_space.points
+        if isinstance(self._global_search_space, CategoricalSearchSpace):
+            return jnp.sum(pts != location[None, :], axis=-1).astype(pts.dtype)
+        lo = self._global_search_space.lower
+        hi = self._global_search_space.upper
+        extent = jnp.maximum(hi - lo, 1e-12)
+        return jnp.linalg.norm((pts - location[None, :]) / extent, axis=-1)
+
+    def _select(self, keep_mask: np.ndarray) -> None:
+        pts = np.asarray(self._global_search_space.points)
+        if not keep_mask.any():
+            keep_mask = keep_mask.copy()
+            keep_mask[0] = True
+        self._points = jnp.asarray(pts[keep_mask])
+
+
+class FixedPointTrustRegionDiscrete(UpdatableTrustRegionDiscrete):
+    """A single random fixed point of the global set; never moves
+    (reference ``rule.py:2297-2330``)."""
+
+    def __init__(
+        self,
+        global_search_space: GeneralDiscreteSearchSpace,
+        region_index: Optional[int] = None,
+        *,
+        key: Optional[jax.Array] = None,
+    ):
+        super().__init__(global_search_space, region_index)
+        self._key = key if key is not None else jax.random.PRNGKey(
+            np.random.randint(2**31)
+        )
+
+    def initialize(self, models=None, datasets=None) -> None:
+        self._key, sub = jax.random.split(self._key)
+        idx = int(jax.random.randint(sub, (), 0, self._global_search_space.points.shape[0]))
+        self._points = self._global_search_space.points[idx : idx + 1]
+
+    def update(self, models=None, datasets=None) -> None:
+        pass  # fixed point: nothing to update
+
+
+class SingleObjectiveTrustRegionDiscrete(UpdatableTrustRegionDiscrete):
+    """Discrete region with success/failure eps scaling over normalized distances
+    (reference ``rule.py:2332-2388``)."""
+
+    def __init__(
+        self,
+        global_search_space: GeneralDiscreteSearchSpace,
+        beta: float = 0.7,
+        kappa: float = 1e-4,
+        zeta: float = 0.5,
+        min_eps: float = 1e-2,
+        region_index: Optional[int] = None,
+        *,
+        key: Optional[jax.Array] = None,
+    ):
+        super().__init__(global_search_space, region_index)
+        self._beta = beta
+        self._kappa = kappa
+        self._zeta = zeta
+        self._min_eps = min_eps
+        self._key = key if key is not None else jax.random.PRNGKey(
+            np.random.randint(2**31)
+        )
+        self._needs_init = True
+        self._y_min = np.inf
+        self.location: Optional[jax.Array] = None
+        self.eps: float = zeta
+
+    @property
+    def requires_initialization(self) -> bool:
+        return self._needs_init
+
+    def _resize(self) -> None:
+        d = np.asarray(self._distances(self.location))
+        if isinstance(self._global_search_space, CategoricalSearchSpace):
+            radius = max(self.eps * self._global_search_space.dimension, 1.0)
+        else:
+            radius = self.eps
+        self._select(d <= radius)
+
+    def _region_min(self, datasets):
+        ds = self._get_tagged_dataset(datasets)
+        if ds is None or len(ds) == 0:
+            return None, np.inf
+        qp, obs = ds.astuple()
+        qp = self.with_input_active_dims(qp)
+        inside = np.asarray(GeneralDiscreteSearchSpace._contains(self, qp))
+        if not inside.any():
+            return None, np.inf
+        qp_in, obs_in = np.asarray(qp)[inside], np.asarray(obs)[inside, 0]
+        idx = int(np.argmin(obs_in))
+        return jnp.asarray(qp_in[idx]), float(obs_in[idx])
+
+    def initialize(self, models=None, datasets=None) -> None:
+        self._key, sub = jax.random.split(self._key)
+        g = self._global_search_space
+        idx = int(jax.random.randint(sub, (), 0, g.points.shape[0]))
+        self.location = g.points[idx]
+        self.eps = self._zeta
+        self._resize()
+        _, self._y_min = self._region_min(datasets)
+        self._needs_init = False
+
+    def update(self, models=None, datasets=None) -> None:
+        best_point, y_new = self._region_min(datasets)
+        if best_point is None:
+            self.eps *= self._beta
+        elif y_new < self._y_min - self._kappa * abs(self._y_min):
+            self.location = best_point
+            self.eps /= self._beta
+            self._y_min = y_new
+        else:
+            self._y_min = min(self._y_min, y_new)
+            self.eps *= self._beta
+        if self.eps < self._min_eps:
+            self._needs_init = True
+            self.initialize(models, datasets)
+            return
+        self._resize()
+
+
+# ---------------------------------------------------------------------------------
+# Product regions for mixed spaces (reference rule.py:2389-2625)
+# ---------------------------------------------------------------------------------
+
+
+class UpdatableTrustRegionProduct(TaggedProductSearchSpace, UpdatableTrustRegion):
+    """A product of per-subspace trust regions over a mixed global product space
+    (reference ``rule.py:2389-2547``)."""
+
+    def __init__(
+        self,
+        regions: Sequence[UpdatableTrustRegion],
+        tags: Optional[Sequence[str]] = None,
+        region_index: Optional[int] = None,
+    ):
+        self._regions = list(regions)
+        TaggedProductSearchSpace.__init__(self, list(regions), tags)
+        UpdatableTrustRegion.__init__(self, region_index)
+        for r in self._regions:
+            r.region_index = region_index
+
+    @property
+    def regions(self) -> Mapping[str, UpdatableTrustRegion]:
+        return {t: self._spaces[t] for t in self._tags}
+
+    @property
+    def requires_initialization(self) -> bool:
+        return any(r.requires_initialization for r in self._regions)
+
+    def _sync(self) -> None:
+        # re-derive the product geometry after subregions moved
+        TaggedProductSearchSpace.__init__(self, self._regions, self._tags)
+
+    def _assign_active_dims(self) -> None:
+        for tag, r in zip(self._tags, self._regions):
+            r.input_active_dims = self.subspace_dimension_range(tag)
+
+    def initialize(self, models=None, datasets=None) -> None:
+        self._assign_active_dims()
+        for r in self._regions:
+            r.region_index = self.region_index
+            r.initialize(models, datasets)
+        self._sync()
+
+    def update(self, models=None, datasets=None) -> None:
+        self._assign_active_dims()
+        for r in self._regions:
+            r.update(models, datasets)
+        self._sync()
+
+
+class BatchTrustRegionProduct(BatchTrustRegion):
+    """Batch trust-region rule over mixed product regions (reference ``rule.py:2550-2625``).
+
+    Default subspaces pair a :class:`SingleObjectiveTrustRegionBox` for each continuous
+    component with a :class:`SingleObjectiveTrustRegionDiscrete` for each discrete one;
+    the default base rule runs per-region EGO (the mixed-space optimizer handles the
+    relaxation)."""
+
+    def _make_default_subspaces(self, search_space):
+        if not isinstance(search_space, TaggedProductSearchSpace):
+            raise ValueError(
+                "BatchTrustRegionProduct requires a TaggedProductSearchSpace"
+            )
+        subspaces = []
+        for i in range(self._num_regions):
+            regions = []
+            for tag in search_space.subspace_tags:
+                sub = search_space.get_subspace(tag)
+                if isinstance(sub, GeneralDiscreteSearchSpace):
+                    regions.append(
+                        SingleObjectiveTrustRegionDiscrete(
+                            sub, key=jax.random.PRNGKey(1000 + i)
+                        )
+                    )
+                else:
+                    regions.append(
+                        SingleObjectiveTrustRegionBox(sub, key=jax.random.PRNGKey(i))
+                    )
+            subspaces.append(
+                UpdatableTrustRegionProduct(
+                    regions, tags=list(search_space.subspace_tags), region_index=i
+                )
+            )
+        return tuple(subspaces)
+
+    def _make_default_rule(self):
+        return [
+            EfficientGlobalOptimization() for _ in range(self._num_regions)
+        ]

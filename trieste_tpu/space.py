@@ -218,6 +218,14 @@ class GeneralDiscreteSearchSpace(SearchSpace):
     def one_hot_encoder(self) -> Optional[EncoderFunction]:
         return None
 
+    def __mul__(self, other: SearchSpace) -> SearchSpace:
+        if isinstance(other, GeneralDiscreteSearchSpace):
+            n, m = self._points.shape[0], other._points.shape[0]
+            left = jnp.repeat(self._points, m, axis=0)
+            right = jnp.tile(other._points, (n, 1))
+            return DiscreteSearchSpace(jnp.concatenate([left, right], axis=-1))
+        return TaggedProductSearchSpace([self, other])
+
     def __eq__(self, other: object) -> bool:
         return isinstance(other, type(self)) and bool(
             jnp.array_equal(self._points, other._points)
@@ -229,14 +237,6 @@ class GeneralDiscreteSearchSpace(SearchSpace):
 
 class DiscreteSearchSpace(GeneralDiscreteSearchSpace):
     """A discrete space of numeric points (reference ``space.py:437-503``)."""
-
-    def __mul__(self, other: SearchSpace) -> SearchSpace:
-        if isinstance(other, DiscreteSearchSpace):
-            n, m = self._points.shape[0], other._points.shape[0]
-            left = jnp.repeat(self._points, m, axis=0)
-            right = jnp.tile(other._points, (n, 1))
-            return DiscreteSearchSpace(jnp.concatenate([left, right], axis=-1))
-        return TaggedProductSearchSpace([self, other])
 
 
 class CategoricalSearchSpace(GeneralDiscreteSearchSpace):
