@@ -40,6 +40,7 @@ from .optimizer import (
 )
 from .rule import (
     AcquisitionRule,
+    BatchHypervolumeSharpeRatioIndicator,
     AsynchronousGreedy,
     AsynchronousOptimization,
     AsynchronousRuleState,

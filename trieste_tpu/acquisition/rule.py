@@ -532,3 +532,104 @@ class AsynchronousGreedy(
 
     def __repr__(self) -> str:
         return f"AsynchronousGreedy({self._builder!r}, {self._num_query_points!r})"
+
+
+class BatchHypervolumeSharpeRatioIndicator(
+    AcquisitionRule[jax.Array, SearchSpace, ProbabilisticModel]
+):
+    """qHSRI: batch selection by Sharpe-ratio-diverse sampling of the mean/std Pareto
+    front (reference ``rule.py:2628-2809``). The reference uses pymoo NSGA-II + a cvxpy
+    QP; here both are self-contained — a host NSGA-II whose population evaluations batch
+    through the device-side model, and a projected-gradient simplex QP
+    (:meth:`~trieste_tpu.acquisition.multi_objective.Pareto.sample_diverse_subset`).
+    """
+
+    def __init__(
+        self,
+        num_query_points: int = 1,
+        ga_population_size: int = 100,
+        ga_n_generations: int = 50,
+        filter_threshold: float = 0.1,
+    ):
+        if num_query_points <= 0:
+            raise ValueError(f"num_query_points must be positive, got {num_query_points}")
+        if not 0.0 <= filter_threshold < 1.0:
+            raise ValueError(f"filter_threshold must be in [0, 1), got {filter_threshold}")
+        self._num_query_points = num_query_points
+        self._population_size = ga_population_size
+        self._n_generations = ga_n_generations
+        self._filter_threshold = filter_threshold
+
+    def _find_mean_std_front(self, model, space):
+        """NSGA-II over (mean, -std): candidates trading off exploitation/exploration
+        (reference ``_find_non_dominated_points``, ``rule.py:2700-2740``)."""
+        from .multi_objective.nsga2 import nsga2
+
+        def objective(x_np: np.ndarray) -> np.ndarray:
+            mean, var = model.predict(jnp.asarray(x_np))
+            std = jnp.sqrt(jnp.maximum(var, 1e-24))
+            return np.asarray(jnp.concatenate([mean, -std], axis=-1))
+
+        return nsga2(
+            objective,
+            np.asarray(space.lower),
+            np.asarray(space.upper),
+            population_size=self._population_size,
+            num_generations=self._n_generations,
+        )
+
+    def acquire(
+        self,
+        search_space: SearchSpace,
+        models: Mapping[Tag, ProbabilisticModel],
+        datasets: Optional[Mapping[Tag, Dataset]] = None,
+        key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if models.keys() != {OBJECTIVE}:
+            raise ValueError(
+                f"dict of models must contain the single key {OBJECTIVE!r}"
+            )
+        if datasets is None or OBJECTIVE not in datasets or len(datasets[OBJECTIVE]) == 0:
+            raise ValueError("qHSRI requires a non-empty objective dataset")
+        model = models[OBJECTIVE]
+        points, front = self._find_mean_std_front(model, search_space)
+        means, neg_stds = front[:, :1], front[:, 1:]
+        stds = -neg_stds
+
+        # probability-of-improvement filter (reference ``rule.py:2742-2770``)
+        from jax.scipy.stats import norm as jnorm
+
+        eta = float(jnp.min(datasets[OBJECTIVE].trimmed_observations))
+        pi = np.asarray(jnorm.cdf((eta - jnp.asarray(means)) / jnp.asarray(stds)))[:, 0]
+        keep = pi >= self._filter_threshold
+        if keep.sum() < self._num_query_points:
+            keep = np.argsort(-pi)[: max(self._num_query_points, 5)]
+            points, means, stds = points[keep], means[keep], stds[keep]
+        else:
+            points, means, stds = points[keep], means[keep], stds[keep]
+
+        from .multi_objective import Pareto
+
+        front_vals = np.concatenate([means, -stds], axis=-1)
+        pareto = Pareto(jnp.asarray(front_vals))
+        _, counts = pareto.sample_diverse_subset(
+            self._num_query_points, allow_repeats=True
+        )
+        # map sampled front rows back to query points
+        front_np = np.asarray(pareto.front)
+        chosen: list[np.ndarray] = []
+        for row, count in zip(front_np, np.asarray(counts)):
+            if count <= 0:
+                continue
+            idx = int(
+                np.argmin(np.linalg.norm(front_vals - row[None, :], axis=-1))
+            )
+            chosen.extend([points[idx]] * int(count))
+        return jnp.asarray(np.stack(chosen[: self._num_query_points]))
+
+    def __repr__(self) -> str:
+        return (
+            f"BatchHypervolumeSharpeRatioIndicator({self._num_query_points!r}, "
+            f"{self._population_size!r}, {self._n_generations!r}, "
+            f"{self._filter_threshold!r})"
+        )
