@@ -8,6 +8,7 @@ from .function.multi_objective import (
 )
 from .function import (
     AugmentedExpectedImprovement,
+    BatchExpectedImprovement,
     BatchMonteCarloExpectedImprovement,
     ExpectedConstrainedImprovement,
     ExpectedImprovement,

@@ -2,6 +2,7 @@
 
 from .function import (
     AugmentedExpectedImprovement,
+    BatchExpectedImprovement,
     BatchMonteCarloExpectedImprovement,
     ExpectedConstrainedImprovement,
     ExpectedImprovement,
@@ -19,6 +20,7 @@ from .function import (
 
 __all__ = [
     "AugmentedExpectedImprovement",
+    "BatchExpectedImprovement",
     "BatchMonteCarloExpectedImprovement",
     "ExpectedConstrainedImprovement",
     "ExpectedImprovement",

@@ -487,6 +487,90 @@ class BatchMonteCarloExpectedImprovement(SingleModelAcquisitionBuilder):
         return f"BatchMonteCarloExpectedImprovement({self._sample_size!r})"
 
 
+def _analytic_qei_fn(
+    predict_joint: Callable, eta: jax.Array, qmc_points: jax.Array, x: TensorType
+) -> jax.Array:
+    """Analytic batch EI via the Chevalier-Ginsbourger decomposition with Genz MVN CDFs
+    (reference ``BatchExpectedImprovement``, ``function.py:1189-1806``).
+
+    ``qEI = sum_k E[(eta - Y_k) 1{Y_k <= eta, Y_k = min Y}]``; each term is an affine
+    transform of the joint posterior evaluated through Q- and (Q-1)-dimensional normal
+    CDFs. ``x: [..., B, D] -> [..., 1]``.
+    """
+    from .utils import mvn_cdf
+
+    x = jnp.asarray(x)
+    mean, cov = predict_joint(x)  # [..., B, L], [..., L, B, B]
+    m = mean[..., 0]  # [..., B]
+    S = cov[..., 0, :, :]  # [..., B, B]
+    Q = m.shape[-1]
+    dtype = m.dtype
+    total = jnp.zeros(m.shape[:-1], dtype)
+    for k in range(Q):
+        # A: rows j != k give Y_k - Y_j; row k gives Y_k
+        A = -jnp.eye(Q, dtype=dtype)
+        A = A.at[:, k].add(1.0)
+        A = A.at[k, k].set(1.0)
+        mk = jnp.einsum("ij,...j->...i", A, m)
+        Sk = jnp.einsum("ij,...jl,ml->...im", A, S, A)
+        Sk = Sk + 1e-10 * jnp.eye(Q, dtype=dtype)
+        bk = jnp.zeros(Q, dtype).at[k].set(1.0) * eta  # zeros except eta at k
+        bk = jnp.broadcast_to(bk, mk.shape)
+        Pk = mvn_cdf(bk, mk, Sk, qmc_points)  # [...]
+        term = (eta - mk[..., k]) * Pk
+        # second-order terms: sum_i Sk[k, i] * phi_1(b_i) * Phi_{Q-1}(conditional)
+        for i in range(Q):
+            Sii = jnp.maximum(Sk[..., i, i], 1e-24)
+            std_i = jnp.sqrt(Sii)
+            z_i = (bk[..., i] - mk[..., i]) / std_i
+            phi_i = jnp.exp(-0.5 * z_i**2) / (std_i * jnp.sqrt(2.0 * jnp.pi))
+            if Q == 1:
+                cond_cdf = jnp.ones(m.shape[:-1], dtype)
+            else:
+                rest = [j for j in range(Q) if j != i]
+                m_rest = mk[..., rest]
+                b_rest = bk[..., rest]
+                S_ri = Sk[..., rest, i]  # [..., Q-1]
+                S_rr = Sk[..., rest, :][..., :, rest]
+                mu_cond = m_rest + S_ri * ((bk[..., i] - mk[..., i]) / Sii)[..., None]
+                S_cond = S_rr - jnp.einsum("...i,...j->...ij", S_ri, S_ri) / Sii[..., None, None]
+                S_cond = S_cond + 1e-10 * jnp.eye(Q - 1, dtype=dtype)
+                cond_cdf = mvn_cdf(b_rest, mu_cond, S_cond, qmc_points[:, : max(Q - 2, 1)])
+            term = term + Sk[..., k, i] * phi_i * cond_cdf
+        total = total + term
+    return jnp.maximum(total, 0.0)[..., None]
+
+
+class BatchExpectedImprovement(SingleModelAcquisitionBuilder):
+    """Analytic (accurate but expensive) batch expected improvement
+    (reference ``function.py:1189-1806``)."""
+
+    def __init__(self, sample_size: int = 128):
+        if sample_size <= 0:
+            raise ValueError(f"sample_size must be positive, got {sample_size}")
+        self._sample_size = sample_size
+
+    def prepare_acquisition_function(
+        self, model: ProbabilisticModel, dataset: Optional[Dataset] = None
+    ) -> AcquisitionFunction:
+        from .utils import make_mvn_cdf
+
+        dataset = _validate_dataset(dataset, "BatchExpectedImprovement")
+        eta = _min_posterior_mean(model, dataset)
+        # QMC points sized for the largest CDF dimension we may see; the per-call slices
+        # adapt to the actual batch size
+        qmc = make_mvn_cdf(self._sample_size, dimension=16)
+        return Partial(_analytic_qei_fn, joint_predictor(model), eta, qmc)
+
+    def update_acquisition_function(
+        self, function, model, dataset=None
+    ) -> AcquisitionFunction:
+        return self.prepare_acquisition_function(model, dataset)
+
+    def __repr__(self) -> str:
+        return f"BatchExpectedImprovement({self._sample_size!r})"
+
+
 class MultipleOptimismNegativeLowerConfidenceBound(
     SingleModelVectorizedAcquisitionBuilder
 ):
