@@ -20,11 +20,19 @@ from trieste_tpu.acquisition.function.function import (
     NegativeLowerConfidenceBound,
 )
 from trieste_tpu.acquisition.optimizer import generate_continuous_optimizer
+from trieste_tpu.acquisition.function.continuous_thompson_sampling import (
+    GreedyContinuousThompsonSampling,
+    ParallelContinuousThompsonSampling,
+)
+from trieste_tpu.acquisition.function.entropy import GIBBON, MinValueEntropySearch
+from trieste_tpu.acquisition.function.greedy_batch import Fantasizer, LocalPenalization
 from trieste_tpu.acquisition.rule import (
     AsynchronousOptimization,
+    BatchHypervolumeSharpeRatioIndicator,
     DiscreteThompsonSampling,
     EfficientGlobalOptimization,
 )
+from trieste_tpu.acquisition.trust_region import BatchTrustRegionBox, TREGOBox, TURBOBox
 from trieste_tpu.bayesian_optimizer import stop_at_minimum
 from trieste_tpu.models.gp import build_gpr
 from trieste_tpu.objectives import ScaledBranin, SimpleQuadratic, mk_observer
@@ -61,6 +69,36 @@ def _rules(opt=FAST_OPT):
             BatchMonteCarloExpectedImprovement(1000),
             optimizer=opt,
             num_query_points=2,
+        ),
+        "mes": lambda space: EfficientGlobalOptimization(
+            MinValueEntropySearch(space), optimizer=opt
+        ),
+        "gibbon": lambda space: EfficientGlobalOptimization(
+            GIBBON(space), optimizer=opt, num_query_points=2
+        ),
+        "lp": lambda space: EfficientGlobalOptimization(
+            LocalPenalization(space), optimizer=opt, num_query_points=3
+        ),
+        "fantasizer": lambda space: EfficientGlobalOptimization(
+            Fantasizer(), optimizer=opt, num_query_points=3
+        ),
+        "pcts": lambda space: EfficientGlobalOptimization(
+            ParallelContinuousThompsonSampling(), optimizer=opt, num_query_points=4
+        ),
+        "gcts": lambda space: EfficientGlobalOptimization(
+            GreedyContinuousThompsonSampling(), optimizer=opt, num_query_points=2
+        ),
+        "trego": lambda space: BatchTrustRegionBox(
+            init_subspaces=[TREGOBox(space)],
+            rule=EfficientGlobalOptimization(optimizer=opt),
+        ),
+        "turbo": lambda space: BatchTrustRegionBox(
+            init_subspaces=[TURBOBox(space)],
+            rule=[EfficientGlobalOptimization(optimizer=opt)],
+        ),
+        "batch-tr": lambda space: BatchTrustRegionBox(init_subspaces=3),
+        "qhsri": lambda space: BatchHypervolumeSharpeRatioIndicator(
+            num_query_points=3, ga_population_size=50, ga_n_generations=15
         ),
     }
 
@@ -105,7 +143,11 @@ def test_all_rules_solve_simple_quadratic(rule_name):
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "rule_name,num_steps",
-    [("ei", 20), ("nlcb", 25), ("qei", 20), ("monlcb", 30), ("dts", 25), ("async", 20)],
+    [
+        ("ei", 20), ("nlcb", 25), ("qei", 20), ("monlcb", 30), ("dts", 25),
+        ("async", 20), ("mes", 25), ("gibbon", 20), ("lp", 25), ("fantasizer", 20),
+        ("pcts", 20), ("trego", 25), ("turbo", 30), ("batch-tr", 15),
+    ],
 )
 def test_rules_solve_scaled_branin(rule_name, num_steps):
     """Reference envelope: ScaledBranin solved within per-rule budgets, rtol 0.005

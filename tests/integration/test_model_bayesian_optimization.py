@@ -1,0 +1,96 @@
+"""BO convergence across model families (role of reference
+``test_bayesian_optimization.py:360-538``: SGPR/SVGP/DGP/DeepEnsemble rows)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+import trieste_tpu as tt
+from trieste_tpu.acquisition.function.continuous_thompson_sampling import (
+    ParallelContinuousThompsonSampling,
+)
+from trieste_tpu.acquisition.function.function import MonteCarloExpectedImprovement
+from trieste_tpu.acquisition.optimizer import generate_continuous_optimizer
+from trieste_tpu.acquisition.rule import DiscreteThompsonSampling, EfficientGlobalOptimization
+from trieste_tpu.bayesian_optimizer import stop_at_minimum
+from trieste_tpu.models.deepgp import build_vanilla_deep_gp
+from trieste_tpu.models.ensembles import build_deep_ensemble
+from trieste_tpu.models.gp import build_gpr_mcmc, build_sgpr, build_svgp
+from trieste_tpu.objectives import ScaledBranin, SimpleQuadratic, mk_observer
+
+FAST_OPT = generate_continuous_optimizer(num_initial_samples=256, num_optimization_runs=6)
+FULL_OPT = generate_continuous_optimizer()
+
+
+def _models():
+    return {
+        "sgpr": lambda ds, space: build_sgpr(
+            ds, space, num_inducing_points=20, likelihood_variance=1e-6,
+            trainable_likelihood=False,
+        ),
+        "svgp": lambda ds, space: build_svgp(
+            ds, space, num_inducing_points=20, likelihood_variance=1e-6,
+            trainable_likelihood=False,
+        ),
+        "dgp": lambda ds, space: build_vanilla_deep_gp(
+            ds, space, num_layers=2, num_train_steps=800
+        ),
+        "deep-ensemble": lambda ds, space: build_deep_ensemble(
+            ds, ensemble_size=5, num_train_steps=600
+        ),
+        "gpr-mcmc": lambda ds, space: build_gpr_mcmc(
+            ds, space, likelihood_variance=1e-6,
+            num_chains=3, num_samples_per_chain=15, num_retained=10,
+        ),
+    }
+
+
+def _rule_for(model_name, space, opt):
+    if model_name in ("dgp", "deep-ensemble"):
+        return EfficientGlobalOptimization(
+            ParallelContinuousThompsonSampling(), optimizer=opt, num_query_points=4
+        )
+    if model_name == "gpr-mcmc":
+        return EfficientGlobalOptimization(
+            MonteCarloExpectedImprovement(500), optimizer=opt
+        )
+    return EfficientGlobalOptimization(optimizer=opt)
+
+
+def _solve(problem, model_name, num_steps, rtol, num_initial, opt):
+    observer = mk_observer(problem.objective)
+    space = problem.search_space
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    initial = observer(space.sample(k1, num_initial))
+    model = _models()[model_name](initial, space)
+    rule = _rule_for(model_name, space, opt)
+    result = tt.BayesianOptimizer(observer, space).optimize(
+        num_steps, initial, model, rule, key=k2, track_state=False,
+        early_stop_callback=stop_at_minimum(problem.minimum, minimum_rtol=rtol),
+    )
+    assert result.is_ok, f"BO errored: {result.final_result}"
+    _, obs, _ = result.try_get_optimal_point()
+    rel = abs(float(obs[0]) - float(problem.minimum[0])) / abs(float(problem.minimum[0]))
+    assert rel < rtol, f"{model_name}: best {float(obs[0])} (rel err {rel})"
+
+
+@pytest.mark.parametrize("model_name", sorted(_models()))
+def test_model_families_solve_simple_quadratic(model_name):
+    """Every model family solves SimpleQuadratic in <= 7 steps (fast envelope)."""
+    _solve(SimpleQuadratic, model_name, num_steps=7, rtol=0.05, num_initial=6,
+           opt=FAST_OPT)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "model_name,num_steps,rtol",
+    [
+        ("sgpr", 9, 0.005),       # reference: SGPR <= 9 steps (BASELINE row 4)
+        ("svgp", 40, 0.05),       # reference: SVGP <= 40 steps
+        ("dgp", 25, 0.05),        # reference: 2-layer DGP <= 25 steps
+        ("deep-ensemble", 60, 0.05),  # reference: DeepEnsemble <= 60 steps
+        ("gpr-mcmc", 20, 0.005),
+    ],
+)
+def test_model_families_solve_scaled_branin(model_name, num_steps, rtol):
+    _solve(ScaledBranin, model_name, num_steps=num_steps, rtol=rtol, num_initial=6,
+           opt=FULL_OPT)
