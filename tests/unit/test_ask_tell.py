@@ -96,3 +96,15 @@ def test_dataset_and_model_accessors(setup):
     assert at.model is model
     assert len(at.datasets) == 1
     assert OBJECTIVE in at.datasets
+
+
+def test_track_data_false_replaces_datasets(setup):
+    space, initial, model, rule = setup
+    at = AskTellOptimizerNoTraining(space, initial, model, rule, track_data=False)
+    full = mk_dataset([[0.5, 0.5], [0.1, 0.1]], [[0.5], [0.02]])
+    at.tell(full)
+    assert len(at.dataset) == 2
+    np.testing.assert_allclose(
+        np.asarray(at.dataset.trimmed_query_points),
+        np.asarray(full.trimmed_query_points),
+    )

@@ -1,0 +1,139 @@
+"""Trust-region framework tests (role of reference ``tests/unit/acquisition/test_rule.py``
+trust-region sections)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import trieste_tpu as tt
+from tests.util.misc import mk_dataset, quadratic
+from trieste_tpu.acquisition.optimizer import generate_continuous_optimizer
+from trieste_tpu.acquisition.rule import EfficientGlobalOptimization
+from trieste_tpu.acquisition.trust_region import (
+    BatchTrustRegionBox,
+    BatchTrustRegionState,
+    SingleObjectiveTrustRegionBox,
+    TREGOBox,
+    TURBOBox,
+)
+from trieste_tpu.acquisition.utils import copy_to_local_models
+from trieste_tpu.models.gp import build_gpr
+from trieste_tpu.objectives import mk_observer
+from trieste_tpu.observer import OBJECTIVE
+from trieste_tpu.space import Box
+from trieste_tpu.utils.misc import LocalizedTag
+
+FAST_OPT = generate_continuous_optimizer(num_initial_samples=128, num_optimization_runs=4)
+
+
+@pytest.fixture
+def space():
+    return Box([0.0, 0.0], [1.0, 1.0])
+
+
+def test_single_objective_region_success_expands(space):
+    region = SingleObjectiveTrustRegionBox(space, key=jax.random.PRNGKey(0))
+    region.initialize()
+    region.location = jnp.array([0.5, 0.5])
+    region.eps = jnp.array([0.2, 0.2])
+    region._y_min = 1.0
+    region._resize_bounds()
+    better = {OBJECTIVE: mk_dataset([[0.5, 0.5]], [[0.5]])}
+    region.update(datasets=better)
+    np.testing.assert_allclose(np.asarray(region.eps), 0.2 / 0.7, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(region.location), [0.5, 0.5])
+
+
+def test_single_objective_region_failure_shrinks(space):
+    region = SingleObjectiveTrustRegionBox(space, key=jax.random.PRNGKey(0))
+    region.initialize()
+    region.location = jnp.array([0.5, 0.5])
+    region.eps = jnp.array([0.2, 0.2])
+    region._y_min = -10.0  # nothing in the region will beat this
+    region._resize_bounds()
+    worse = {OBJECTIVE: mk_dataset([[0.5, 0.5]], [[0.5]])}
+    region.update(datasets=worse)
+    np.testing.assert_allclose(np.asarray(region.eps), 0.2 * 0.7, rtol=1e-6)
+
+
+def test_region_reinitializes_when_tiny(space):
+    region = SingleObjectiveTrustRegionBox(space, min_eps=0.1, key=jax.random.PRNGKey(0))
+    region.initialize()
+    region.eps = jnp.array([0.11, 0.11])
+    region._y_min = -10.0
+    region.update(datasets={OBJECTIVE: mk_dataset([[0.5, 0.5]], [[0.5]])})
+    # failure shrinks below min_eps -> fresh region at full zeta size
+    np.testing.assert_allclose(np.asarray(region.eps), 0.5, rtol=1e-6)
+
+
+def test_trego_alternates_phases(space):
+    region = TREGOBox(space, key=jax.random.PRNGKey(0))
+    region.initialize(datasets={OBJECTIVE: mk_dataset([[0.5, 0.5]], [[10.0]])})
+    assert region.is_global
+    # failure -> local phase
+    region.update(datasets={OBJECTIVE: mk_dataset([[0.5, 0.5]], [[20.0]])})
+    assert not region.is_global
+    # success -> back to global (pin the local region over the improving point)
+    region.location = jnp.array([0.45, 0.45])
+    region.eps = jnp.array([0.3, 0.3])
+    region._resize_bounds()
+    region.update(datasets={OBJECTIVE: mk_dataset([[0.4, 0.4]], [[-5.0]])})
+    assert region.is_global
+
+
+def test_turbo_doubles_and_halves(space):
+    region = TURBOBox(space, success_tolerance=2, failure_tolerance=2)
+    region.initialize(datasets={OBJECTIVE: mk_dataset([[0.5, 0.5]], [[1.0]])})
+    L0 = region.L
+    for y in ([[0.5]], [[0.2]]):  # two successes
+        region.update(datasets={OBJECTIVE: mk_dataset([[0.5, 0.5]], y)})
+    assert region.L == pytest.approx(2 * L0)
+    for y in ([[5.0]], [[5.0]]):  # two failures
+        region.update(datasets={OBJECTIVE: mk_dataset([[0.5, 0.5]], y)})
+    assert region.L == pytest.approx(L0)
+
+
+def test_batch_trust_region_with_local_models(space):
+    """Per-region local models + per-region rules (reference ``rule.py:1417-1435``)."""
+    observer = mk_observer(quadratic)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    initial = observer(space.sample(k1, 6))
+    global_model = build_gpr(initial, space, likelihood_variance=1e-7,
+                             trainable_likelihood=False)
+    local_models = copy_to_local_models(global_model, 2)
+    rule = BatchTrustRegionBox(
+        init_subspaces=2,
+        rule=[
+            EfficientGlobalOptimization(optimizer=FAST_OPT),
+            EfficientGlobalOptimization(optimizer=FAST_OPT),
+        ],
+    )
+    datasets = {OBJECTIVE: initial}
+    bo = tt.BayesianOptimizer(observer, space)
+    result = bo.optimize(
+        3, datasets, dict(local_models), rule, key=k2, track_state=False
+    )
+    assert result.is_ok, result.final_result
+    ds = result.try_get_final_datasets()
+    assert OBJECTIVE in ds
+    assert LocalizedTag(OBJECTIVE, 0) in ds
+    # 2 points per step (one per region)
+    assert len(ds[OBJECTIVE]) == 6 + 3 * 2
+
+
+def test_batch_trust_region_state_roundtrip(space):
+    regions = tuple(
+        SingleObjectiveTrustRegionBox(space, region_index=i, key=jax.random.PRNGKey(i))
+        for i in range(3)
+    )
+    for r in regions:
+        r.initialize()
+    state = BatchTrustRegionState(regions)
+    acq_space = state.acquisition_space
+    assert acq_space.num_subspaces == 3
+    import copy as copy_module
+
+    state2 = copy_module.deepcopy(state)
+    np.testing.assert_allclose(
+        np.asarray(state2.subspaces[0].lower), np.asarray(state.subspaces[0].lower)
+    )

@@ -242,9 +242,15 @@ class BatchTrustRegion(
                     region = subspaces[ltag.local_index]
                     qp, obs = global_ds.astuple()
                     inside = np.asarray(region.contains(qp))
-                    filtered[tag] = Dataset.from_arrays(
-                        np.asarray(qp)[inside], np.asarray(obs)[inside]
-                    )
+                    if not inside.any():
+                        # a freshly (re)initialized region may contain no observations
+                        # yet; fall back to the full dataset so models/acquisitions
+                        # remain buildable until the region collects its own points
+                        filtered[tag] = global_ds
+                    else:
+                        filtered[tag] = Dataset.from_arrays(
+                            np.asarray(qp)[inside], np.asarray(obs)[inside]
+                        )
             return BatchTrustRegionState(tuple(subspaces)), filtered
 
         return state_func

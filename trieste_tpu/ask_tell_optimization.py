@@ -220,8 +220,15 @@ class AskTellOptimizerABC(ABC, Generic[StateType]):
     def tell(
         self, new_data: Union[Mapping[Tag, Dataset], Dataset]
     ) -> None:
-        """Append new observations, re-filter and retrain
-        (reference ``ask_tell_optimization.py:634-729``)."""
+        """Incorporate new observations, re-filter and retrain
+        (reference ``ask_tell_optimization.py:634-729``).
+
+        With ``track_data=True`` (default) ``new_data`` holds only the NEW observations
+        and is appended; with ``track_data=False`` the caller owns the data and passes
+        the FULL updated datasets, which replace the internal ones (the reference's
+        index-inference bookkeeping, ``:670-703``, is subsumed by the rules'
+        ``filter_datasets`` re-masking).
+        """
         if isinstance(new_data, Dataset):
             new_data = {OBJECTIVE: new_data}
         new_data = dict(new_data)
@@ -237,7 +244,10 @@ class AskTellOptimizerABC(ABC, Generic[StateType]):
                         )
         for tag, ds in new_data.items():
             if tag in self._datasets:
-                self._datasets[tag] = self._datasets[tag] + ds
+                if self._track_data:
+                    self._datasets[tag] = self._datasets[tag] + ds
+                else:
+                    self._datasets[tag] = ds
         filtered = self._acquisition_rule.filter_datasets(self._models, self._datasets)
         if callable(filtered):
             self._acquisition_state, filtered = filtered(self._acquisition_state)

@@ -236,10 +236,12 @@ class BayesianOptimizer(Generic[StateType]):
         models = dict(models)
         if num_steps < 0:
             raise ValueError(f"num_steps must be at least 0, got {num_steps}")
-        if datasets.keys() != models.keys():
+        dataset_globals = {LocalizedTag.from_tag(t).global_tag for t in datasets}
+        model_globals = {LocalizedTag.from_tag(t).global_tag for t in models}
+        if dataset_globals != model_globals:
             raise ValueError(
-                f"datasets and models should contain the same keys. Got {datasets.keys()} "
-                f"and {models.keys()} respectively."
+                f"datasets and models should cover the same global tags. Got "
+                f"{datasets.keys()} and {models.keys()} respectively."
             )
         if not datasets:
             raise ValueError("dicts of datasets and models must be populated.")
