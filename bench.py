@@ -74,9 +74,11 @@ def main() -> None:
     ei = jax.jit(Partial(_ei_fn, Partial(predict_f, params, cache), eta))
 
     candidates = jax.random.uniform(k2, (n_eval, 1, D), dtype=dtype)
-    # warm up (compile)
+    # warm up (compile) and measure in steady state: calls are dispatched asynchronously
+    # and pipeline on the device, amortizing the host->device dispatch latency (the
+    # tunnel adds ~25 ms per synchronous round trip, which is NOT device compute)
     ei(candidates).block_until_ready()
-    reps = 30
+    reps = 150
     t0 = time.perf_counter()
     for _ in range(reps):
         out = ei(candidates)
