@@ -53,7 +53,7 @@ def _run_chains(key, template, X, Y, mask, u0, num_chains, num_samples, num_warm
 
 def _mixture_predict(params_stack, caches_stack, x):
     """Marginal mixture moments over hyperparameter samples: ``[..., D] -> [..., P]``."""
-    means, variances = jax.vmap(P.predict_f, in_axes=(0, 0, None))(
+    means, variances = jax.vmap(P.predict_f_reference, in_axes=(0, 0, None))(
         params_stack, caches_stack, x
     )  # [S, ..., P]
     mix_mean = jnp.mean(means, axis=0)

@@ -44,13 +44,17 @@ class GPRCache:
 
     ``X``/``Y_centered``/``mask`` are the padded training buffers; ``L`` is the masked
     Cholesky of ``K(X,X) + σ²I`` (identity on padded rows); ``alpha = (LLᵀ)⁻¹ (Y - m)``
-    has zero padded rows.
+    has zero padded rows. ``LinvT = (L⁻¹)ᵀ`` (zero on padded rows/columns) lets the fused
+    marginal-variance path (:mod:`trieste_tpu.ops.fused_predict`) replace the per-query
+    triangular solve by the MXU matmul ``v = K·L⁻ᵀ`` — elementwise identical math to the
+    reference's ``v = L⁻¹ k``; it is optional — ``None`` disables the fast path.
     """
 
     X: jax.Array  # [C, D]
     mask: jax.Array  # [C] bool
     L: jax.Array  # [C, C]
     alpha: jax.Array  # [C, P]
+    LinvT: Optional[jax.Array] = None  # [C, C]
 
 
 def build_cache(params: GPRParams, X: jax.Array, Y: jax.Array, mask: jax.Array) -> GPRCache:
@@ -61,7 +65,10 @@ def build_cache(params: GPRParams, X: jax.Array, Y: jax.Array, mask: jax.Array) 
     L = masked_cholesky(Kn, mask)
     ym = (Y - params.mean_constant) * m[:, None]
     alpha = cho_solve(L, ym)
-    return GPRCache(X=X, mask=mask, L=L, alpha=alpha)
+    # masked triangular inverse for the fused prediction kernel: the padded block of L
+    # is the identity, so zeroing its rows/cols removes the padded contribution exactly
+    Linv = solve_lower(L, jnp.eye(X.shape[0], dtype=X.dtype)) * (m[:, None] * m[None, :])
+    return GPRCache(X=X, mask=mask, L=L, alpha=alpha, LinvT=Linv.T)
 
 
 def log_marginal_likelihood(
@@ -91,17 +98,64 @@ def _masked_cross_cov(
     return Kxn * cache.mask.astype(Kxn.dtype)[None, :]
 
 
-def predict_f(
-    params: GPRParams, cache: GPRCache, query_points: jax.Array
+def _predict_f_flat_reference(
+    params: GPRParams, cache: GPRCache, flat: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
-    """Marginal posterior: ``[..., D] -> mean [..., P], var [..., P]``."""
-    flat, unflatten = flatten_leading_dims(query_points, output_dims=2)
+    """Pure-XLA marginal posterior over flattened queries: ``[N, D] -> ([N, P], [N, P])``."""
     Kxn = _masked_cross_cov(params, cache, flat)  # [N, C]
     mean = _mm(Kxn, cache.alpha) + params.mean_constant  # [N, P]
     v = solve_lower(cache.L, Kxn.T)  # [C, N]
     var = params.kernel.diag(flat) - jnp.sum(jnp.square(v), axis=0)  # [N]
     var = jnp.maximum(var, 1e-24)
     var = jnp.broadcast_to(var[:, None], mean.shape)
+    return mean, var
+
+
+def _predict_f_flat_impl(
+    params: GPRParams, cache: GPRCache, flat: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Marginal posterior with a fused Pallas forward on TPU for large candidate pools
+    (:mod:`trieste_tpu.ops.fused_predict`); gradients always flow through the pure-XLA
+    reference math (the fused kernel is forward-only)."""
+    from ...ops import fused_predict
+
+    if fused_predict.can_fuse(params, cache, flat):
+        return fused_predict.fused_predict_f(params, cache, flat)
+    return _predict_f_flat_reference(params, cache, flat)
+
+
+_predict_f_flat = jax.custom_vjp(_predict_f_flat_impl)
+
+
+def _predict_f_flat_fwd(params, cache, flat):
+    return _predict_f_flat_impl(params, cache, flat), (params, cache, flat)
+
+
+def _predict_f_flat_bwd(res, cotangents):
+    params, cache, flat = res
+    _, vjp = jax.vjp(_predict_f_flat_reference, params, cache, flat)
+    return vjp(cotangents)
+
+
+_predict_f_flat.defvjp(_predict_f_flat_fwd, _predict_f_flat_bwd)
+
+
+def predict_f(
+    params: GPRParams, cache: GPRCache, query_points: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Marginal posterior: ``[..., D] -> mean [..., P], var [..., P]``."""
+    flat, unflatten = flatten_leading_dims(query_points, output_dims=2)
+    mean, var = _predict_f_flat(params, cache, flat)
+    return unflatten(mean), unflatten(var)
+
+
+def predict_f_reference(
+    params: GPRParams, cache: GPRCache, query_points: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Pure-XLA :func:`predict_f` (no Pallas dispatch) — safe to ``vmap`` over stacked
+    model states (fully-Bayesian posterior mixtures)."""
+    flat, unflatten = flatten_leading_dims(query_points, output_dims=2)
+    mean, var = _predict_f_flat_reference(params, cache, flat)
     return unflatten(mean), unflatten(var)
 
 

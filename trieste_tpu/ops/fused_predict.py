@@ -1,0 +1,247 @@
+"""Fused exact-GP marginal prediction as a Pallas TPU kernel.
+
+The innermost hot op of every BO step is marginal posterior prediction over a large
+candidate pool (the seeding phase of the continuous acquisition optimizer evaluates
+``max(5000, 1000·D)`` candidates per step — reference ``acquisition/optimizer.py:46-66,
+247-341``). The unfused XLA path materializes the ``[N, C]`` cross-covariance matrix in
+HBM three times (gram write, mean matmul read, triangular solve read); at the bench shape
+(N=131072, C=128, f32) that is ~200 MB of HBM traffic for ~3 MB of useful input/output —
+purely bandwidth bound.
+
+This kernel fuses the whole chain per candidate tile in VMEM:
+
+    r² = |x/ℓ|² + |X/ℓ|² − 2 (x/ℓ)(X/ℓ)ᵀ          (MXU matmul)
+    K  = σ²·k(r)                                    (VPU elementwise)
+    mean = K α + m                                  (MXU matmul)
+    v    = K L⁻ᵀ                                    (MXU matmul)
+    var  = σ² − Σ_j v ⊙ v                           (VPU reduce)
+
+using a **precomputed masked triangular inverse** ``L⁻ᵀ`` from the posterior cache, so
+the variance needs no triangular solve in the hot loop (``v = K·L⁻ᵀ`` is elementwise the
+same quantity as the reference's ``v = L⁻¹ k``) — everything rides the MXU. The
+cross-covariance never touches HBM: per tile the only HBM traffic is the candidate tile
+in and (mean, var) out.
+
+Precision. Three regimes, chosen per contraction (the MXU's 1-pass f32 path is
+bf16-grade, ~1e-2 relative — unusable everywhere here):
+
+- **r² matmul** (depth D, tiny): ``Precision.HIGHEST`` (6-pass f32 emulation) — the
+  ``|x|² + |X|² − 2x·X`` form cancels catastrophically.
+- **mean = K·α** and **v = K·L⁻ᵀ** (the FLOPs hot spot): manual **3-pass bf16-split**
+  (``a·b ≈ aₕbₕ + aₕbₗ + aₗbₕ``; Pallas-TPU has no ``Precision.HIGH``). Any 2-way
+  bf16 split represents its operands to only 16 mantissa bits, so this is a
+  ~2⁻¹⁶·‖K‖‖α‖ / ~2⁻¹⁶·‖K‖‖L⁻ᵀ‖ contract (~1e-3 mean, ~1e-2 variance absolute for
+  ill-conditioned posteriors). That is the same order as the f32 XLA path's own
+  conditioning error vs f64, and acceptable **because this kernel only serves
+  candidate-pool scoring**: the small refinement batches inside L-BFGS fall under
+  ``MIN_POINTS`` and take the exact XLA path, as do all gradients. Full HIGHEST on
+  these contractions made the kernel slower than unfused XLA (2.3 vs 1.85 ms at C=256;
+  12.4 vs 11.7 ms at C=1024 — no reason to fuse); HIGHEST on just the mean (narrow
+  output, looks free) still cost ~30% because the compiler re-splits all of K 3-way.
+  ``α`` and ``L⁻ᵀ`` are pre-split host-side once per posterior refit (also halving the
+  L⁻ᵀ VMEM footprint); ``K`` is split per tile in VMEM.
+
+Measured on v5e (N=131072, D=6): 1.6 ms vs 1.85 ms unfused XLA at C=256;
+7.1 ms vs 11.7 ms at C=1024.
+
+Correctness with padded training buffers (:mod:`trieste_tpu.ops.linalg`) is free: padded
+rows of ``α`` and padded rows/columns of ``L⁻ᵀ`` are exactly zero, so the (finite, junk)
+padded columns of ``K`` contribute nothing to either matmul — no masking inside the kernel.
+
+Gradients: callers wrap this in ``jax.custom_vjp`` whose backward pass is the pure-JAX
+reference implementation (see :func:`trieste_tpu.models.gp.posterior.predict_f`); the
+kernel itself is forward-only.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_SQRT3 = math.sqrt(3.0)
+_SQRT5 = math.sqrt(5.0)
+
+# flipped by tests to exercise the kernel on CPU via the Pallas interpreter
+FORCE_INTERPRET = bool(int(os.environ.get("TRIESTE_TPU_PALLAS_INTERPRET", "0")))
+
+# below this many flattened query points the pallas launch overhead outweighs the fusion
+# win (and keeps the kernel out of the vmapped small-batch L-BFGS line-search evals)
+MIN_POINTS = 2048
+
+# beyond this training capacity the bf16 hi/lo splits of LinvT alone crowd the ~16MB
+# scoped-VMEM budget; fall back to XLA (at that scale users want sparse models anyway)
+_MAX_TRAIN = 1024
+
+
+def _tile_for(Cp: int) -> int:
+    """Largest candidate-tile size whose VMEM working set fits the scoped budget.
+
+    Empirical model (v5e): the per-tile working set costs ~24.5 bytes per K element
+    (K f32 + bf16 hi/lo splits + v f32 + partial-product temporaries), plus the
+    resident ``4·Cp²`` bytes of the LinvT bf16 splits. Measured: tile 2048 @ Cp=256
+    compiles (12.8M), tile 4096 @ Cp=256 OOMs at 25.7M against the 16M scoped limit.
+    """
+    budget = 14 * 2**20 - 4 * Cp * Cp
+    t = budget // int(24.5 * Cp)
+    return max(256, min(2048, 1 << max(int(t).bit_length() - 1, 0)))
+
+
+def _stationary(kind: str, r2: jax.Array) -> jax.Array:
+    if kind == "rbf":
+        return jnp.exp(-0.5 * r2)
+    r = jnp.sqrt(jnp.maximum(r2, 0.0))
+    if kind == "matern12":
+        return jnp.exp(-r)
+    if kind == "matern32":
+        z = _SQRT3 * r
+        return (1.0 + z) * jnp.exp(-z)
+    if kind == "matern52":
+        z = _SQRT5 * r
+        return (1.0 + z + z * z / 3.0) * jnp.exp(-z)
+    raise ValueError(f"unknown kernel kind {kind!r}")
+
+
+def _split_hi_lo(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """bf16 hi/lo decomposition: ``a == hi + lo`` to ~2⁻¹⁶ relative."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(k_hi, k_lo, b_hi, b_lo):
+    """3-pass bf16-split matmul ≈ f32 (drops the lo·lo term, ~2⁻¹⁶ relative)."""
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    return d(k_hi, b_hi) + d(k_hi, b_lo) + d(k_lo, b_hi)
+
+
+def _make_kernel(kind: str):
+    def kernel(
+        x_ref, a_ref, b2_ref, al_hi_ref, al_lo_ref, lt_hi_ref, lt_lo_ref, scal_ref,
+        mean_ref, var_ref,
+    ):
+        # x_ref: [T, D] candidate tile pre-scaled by 1/lengthscales
+        # a_ref: [Cp, D] training inputs pre-scaled; b2_ref: [1, Cp] their sq. norms
+        # al_*: [Cp, P] bf16 hi/lo of alpha; lt_*: [Cp, Cp] bf16 hi/lo of masked (L⁻¹)ᵀ
+        # scal_ref: [1, 2] SMEM (signal variance, mean constant)
+        x = x_ref[:]
+        kvar = scal_ref[0, 0]
+        mean_const = scal_ref[0, 1]
+        x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [T, 1]
+        # r² cancels catastrophically → full 6-pass f32 emulation (contraction depth
+        # is only D, so this one is cheap)
+        ab = jax.lax.dot_general(
+            x,
+            a_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [T, Cp]
+        r2 = jnp.maximum(x2 + b2_ref[0, :][None, :] - 2.0 * ab, 0.0)
+        K = kvar * _stationary(kind, r2)  # [T, Cp]
+        k_hi, k_lo = _split_hi_lo(K)
+        mean_ref[:] = _dot3(k_hi, k_lo, al_hi_ref[:], al_lo_ref[:]) + mean_const
+        v = _dot3(k_hi, k_lo, lt_hi_ref[:], lt_lo_ref[:])  # [T, Cp]
+        quad = jnp.sum(v * v, axis=-1, keepdims=True)  # [T, 1]
+        var_ref[:] = jnp.maximum(kvar - quad, 1e-24)
+
+    return kernel
+
+
+def can_fuse(params, cache, flat: jax.Array) -> bool:
+    """Trace-time gate: TPU backend (or forced interpret), f32, stationary kernel,
+    unbatched model state, large-enough pool, LinvT present, capacity within VMEM budget."""
+    kernel = getattr(params, "kernel", None)
+    kind = getattr(kernel, "kind", None)
+    if kind not in ("rbf", "matern12", "matern32", "matern52"):
+        return False
+    if getattr(cache, "LinvT", None) is None:
+        return False
+    if flat.dtype != jnp.float32 or cache.X.dtype != jnp.float32:
+        return False
+    if flat.ndim != 2 or cache.X.ndim != 2 or cache.alpha.ndim != 2:
+        return False
+    if kernel.variance.ndim != 0 or kernel.lengthscales.ndim > 1:
+        return False
+    if flat.shape[0] < MIN_POINTS or cache.X.shape[0] > _MAX_TRAIN:
+        return False
+    return jax.default_backend() == "tpu" or FORCE_INTERPRET
+
+
+def fused_predict_f(params, cache, flat: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """``flat [N, D] -> (mean [N, P], var [N, P])`` — forward-only fused prediction.
+
+    Call only when :func:`can_fuse` holds.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, D = flat.shape
+    C = cache.X.shape[0]
+    P = cache.alpha.shape[-1]
+    f32 = jnp.float32
+
+    ls = jnp.broadcast_to(jnp.atleast_1d(params.kernel.lengthscales), (D,)).astype(f32)
+    m = cache.mask.astype(f32)
+    A = (cache.X * m[:, None]) / ls  # zeroed padded rows keep their norms at 0
+    b2 = jnp.sum(A * A, axis=-1)[None, :]  # [1, C]
+    alpha = cache.alpha.astype(f32)
+    LinvT = cache.LinvT.astype(f32)
+
+    # pad training capacity to the f32 lane tile so every matmul is MXU-aligned;
+    # zero padding is inert (see module docstring)
+    Cp = -(-C // 128) * 128
+    if Cp != C:
+        A = jnp.pad(A, ((0, Cp - C), (0, 0)))
+        b2 = jnp.pad(b2, ((0, 0), (0, Cp - C)))
+        alpha = jnp.pad(alpha, ((0, Cp - C), (0, 0)))
+        LinvT = jnp.pad(LinvT, ((0, Cp - C), (0, Cp - C)))
+
+    al_hi, al_lo = _split_hi_lo(alpha)
+    lt_hi, lt_lo = _split_hi_lo(LinvT)
+
+    tile = _tile_for(Cp)
+    Np = -(-N // tile) * tile
+    xs = flat / ls
+    if Np != N:
+        xs = jnp.pad(xs, ((0, Np - N), (0, 0)))
+
+    scal = jnp.stack(
+        [params.kernel.variance.astype(f32), params.mean_constant.astype(f32)]
+    )[None, :]  # [1, 2]
+
+    grid = (Np // tile,)
+    mean, var = pl.pallas_call(
+        _make_kernel(params.kernel.kind),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, P), f32),
+            jax.ShapeDtypeStruct((Np, 1), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * Cp * (6 * D + 3 * P + 3 * Cp) + 8 * Np * Cp,
+            bytes_accessed=4 * (Np * D + Cp * (D + P + Cp) + Np * (P + 1)),
+            transcendentals=Np * Cp,
+        ),
+        interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
+    )(xs, A, b2, al_hi, al_lo, lt_hi, lt_lo, scal)
+
+    mean = mean[:N]
+    var = jnp.broadcast_to(var[:N], (N, P))
+    return mean, var
