@@ -1,13 +1,24 @@
-"""Benchmark: acquisition-function evaluation throughput on one chip.
+"""Benchmark: acquisition throughput, BO-step wall-clock, and regret parity on one chip.
 
-Measures the innermost hot path of every BO step — exact-GP posterior prediction fused
-with analytic expected improvement over a large candidate pool (Hartmann6 geometry:
-D=6, n=100 training points) — and compares against a NumPy/BLAS float64 implementation
-of the identical math on the host CPU (a proxy for the reference's TF-CPU execution of
-the same computation; gpflow is not installed in this image, and the reference publishes
-no throughput numbers of its own — SURVEY.md §6).
+Three measurements (BASELINE.json metrics):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. **Headline**: EI-evaluation throughput over a 131072-candidate pool (Hartmann6
+   geometry, n=100 training points) vs a NumPy/BLAS float64 implementation of the
+   identical math on the host CPU (a proxy for the reference's TF-CPU execution; gpflow
+   is not installed in this image and the reference publishes no throughput numbers —
+   SURVEY.md §6).
+2. **wallclock_per_bo_step_s**: steady-state wall-clock of a REAL BO step (Hartmann6,
+   GPR + EI via EGO at the reference's full optimizer budget, 5 initial points) — model
+   refit + acquisition maximization + observation, median of the last 5 of 10 steps.
+3. **production-shape fused predict**: ms/call at the large-capacity shape
+   (n_train=1024 → C=1024, pool=131072) where the Pallas kernel's fusion win is
+   largest (see ``trieste_tpu/ops/fused_predict.py`` docstring).
+
+Also writes ``BENCH_regret.json``: the best-observed-value curve for ScaledBranin
+GPR+EI (5 init + 15 steps, seed 0) for regret-parity checking against the reference
+envelope (best_y within rtol 0.005 of -1.047393 — BASELINE.md row 1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 from __future__ import annotations
 
@@ -106,6 +117,11 @@ def main() -> None:
     err = np.max(np.abs(ours - base_ei)) / max(base_ei.max(), 1e-12)
     assert err < 5e-2, f"EI mismatch vs reference math: {err}"
 
+    extra = {}
+    extra["fused_c1024_ms_per_call"] = _production_shape_ms(key, D, dtype)
+    extra["wallclock_per_bo_step_s"] = _bo_step_wallclock()
+    extra["regret_curve"] = _regret_curve()
+
     print(
         json.dumps(
             {
@@ -113,9 +129,106 @@ def main() -> None:
                 "value": round(evals_per_s, 1),
                 "unit": "EI evals/s (GPR n=100, Hartmann6 D=6, f32)",
                 "vs_baseline": round(evals_per_s / base_evals_per_s, 2),
+                "extra": extra,
             }
         )
     )
+
+
+def _production_shape_ms(key, D, dtype) -> float:
+    """Fused-predict ms/call at the production shape (C=1024 training, pool 131072)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.tree_util import Partial
+
+    from trieste_tpu.data import Dataset
+    from trieste_tpu.models.gp.posterior import GPRParams, build_cache, predict_f
+    from trieste_tpu.objectives import Hartmann6
+    from trieste_tpu.ops.kernels import stationary
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(42))
+    n_train, n_eval = 1024, 1 << 17
+    Xtr = jax.random.uniform(k1, (n_train, D), dtype=dtype)
+    Ytr = Hartmann6.objective(Xtr).astype(dtype)
+    ds = Dataset.from_arrays(Xtr, Ytr)
+    params = GPRParams(
+        kernel=stationary("matern52", 1.0, [0.3] * D, dtype=dtype),
+        noise_variance=jnp.asarray(1e-4, dtype),
+        mean_constant=jnp.asarray(0.0, dtype),
+    )
+    cache = build_cache(params, ds.query_points, ds.observations, ds.mask)
+    predict = jax.jit(Partial(predict_f, params, cache))
+    x = jax.random.uniform(k2, (n_eval, 1, D), dtype=dtype)
+    jax.block_until_ready(predict(x))
+    reps = 30
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = predict(x)
+    jax.block_until_ready(out)
+    return round((time.perf_counter() - t0) / reps * 1e3, 3)
+
+
+def _bo_step_wallclock() -> float:
+    """Median steady-state wall-clock of a real Hartmann6 GPR+EI BO step (full
+    reference optimizer budget: 6000 seeds, 60 L-BFGS runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trieste_tpu.ask_tell_optimization import AskTellOptimizer
+    from trieste_tpu.models.gp import build_gpr
+    from trieste_tpu.objectives import Hartmann6, mk_observer
+
+    problem = Hartmann6
+    space = problem.search_space
+    observer = mk_observer(problem.objective)
+    k_init, k_loop = jax.random.split(jax.random.PRNGKey(0))
+    initial_data = observer(space.sample(k_init, 5))
+    model = build_gpr(initial_data, space, likelihood_variance=1e-6)
+    opt = AskTellOptimizer(space, initial_data, model, key=k_loop)
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        points = opt.ask()
+        opt.tell(observer(points))
+        times.append(time.perf_counter() - t0)
+    return round(float(np.median(times[-5:])), 3)
+
+
+def _regret_curve() -> dict:
+    """ScaledBranin GPR+EI regret curve (BASELINE config 1), written to
+    BENCH_regret.json next to this file."""
+    import jax
+    import jax.numpy as jnp
+
+    from trieste_tpu.ask_tell_optimization import AskTellOptimizer
+    from trieste_tpu.models.gp import build_gpr
+    from trieste_tpu.objectives import ScaledBranin, mk_observer
+
+    problem = ScaledBranin
+    space = problem.search_space
+    observer = mk_observer(problem.objective)
+    k_init, k_loop = jax.random.split(jax.random.PRNGKey(0))
+    data = observer(space.sample(k_init, 5))
+    model = build_gpr(data, space, likelihood_variance=1e-7, trainable_likelihood=False)
+    opt = AskTellOptimizer(space, data, model, key=k_loop)
+    best = [float(jnp.min(data.trimmed_observations))]
+    for _ in range(15):
+        points = opt.ask()
+        new = observer(points)
+        opt.tell(new)
+        best.append(min(best[-1], float(jnp.min(new.trimmed_observations))))
+    true_min = float(problem.minimum[0])
+    curve = {
+        "problem": "ScaledBranin",
+        "rule": "GPR+EI (EGO, default budgets)",
+        "true_minimum": true_min,
+        "best_observed_per_step": [round(b, 6) for b in best],
+        "final_rel_err": round(abs(best[-1] - true_min) / abs(true_min), 6),
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_regret.json")
+    with open(out_path, "w") as f:
+        json.dump(curve, f, indent=1)
+    return {"final_rel_err": curve["final_rel_err"], "file": "BENCH_regret.json"}
 
 
 if __name__ == "__main__":

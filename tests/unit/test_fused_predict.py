@@ -79,16 +79,63 @@ def test_dispatch_uses_fused_and_grads_flow(interpreted_pallas):
     np.testing.assert_allclose(g, g_ref, rtol=5e-3, atol=1e-4)
 
 
-def test_small_pools_and_f64_fall_back():
+def test_small_pools_and_f64_fall_back(interpreted_pallas):
     params, cache = _state("rbf")
+    # positive control FIRST: with the interpreter forced and the pool large enough,
+    # the gate is open — so each negative below exercises its own condition
+    x = jnp.zeros((4096, 3), jnp.float32)
+    assert fused_predict.can_fuse(params, cache, x)
     x_small = jnp.zeros((4, 3), jnp.float32)
     assert not fused_predict.can_fuse(params, cache, x_small)
     x64 = jnp.zeros((4096, 3), jnp.float64)
     assert not fused_predict.can_fuse(params, cache, x64)
     # missing LinvT disables the fast path
     cache_no_inv = cache.replace(LinvT=None)
-    x = jnp.zeros((4096, 3), jnp.float32)
     assert not fused_predict.can_fuse(params, cache_no_inv, x)
+    # capacity beyond the VMEM budget disables it
+    big = jnp.zeros((fused_predict._MAX_TRAIN + 1, 3), jnp.float32)
+    cache_big = cache.replace(
+        X=big, mask=jnp.zeros(big.shape[0], bool), L=jnp.eye(big.shape[0], dtype=jnp.float32),
+        alpha=jnp.zeros((big.shape[0], 2), jnp.float32),
+        LinvT=jnp.eye(big.shape[0], dtype=jnp.float32),
+    )
+    assert not fused_predict.can_fuse(params, cache_big, x)
+
+
+def test_low_noise_conditioning_falls_back(interpreted_pallas):
+    """The bf16-split variance contract is meaningless below ~2^-16 of the signal; a
+    concrete noise/signal ratio under 1e-5 must take the exact XLA path."""
+    params, cache = _state("rbf")
+    x = jnp.zeros((4096, 3), jnp.float32)
+    assert fused_predict.can_fuse(params, cache, x)  # noise 1e-3 / signal 1.7 is fine
+    low_noise = params.replace(noise_variance=jnp.asarray(1e-7, jnp.float32))
+    assert not fused_predict.can_fuse(low_noise, cache, x)
+
+
+def test_vmapped_model_state_falls_back(interpreted_pallas):
+    """Under vmap over stacked params/caches the per-example ndim looks unbatched; the
+    batch-tracer detection must still route to the XLA reference (no Pallas batching)."""
+    params, cache = _state("rbf", p=1)
+    stack = lambda t: jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), t)
+    params2, cache2 = stack(params), stack(cache)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (4096, 3), dtype=jnp.float32)
+
+    calls = {"fused": 0}
+    orig = fused_predict.fused_predict_f
+
+    def counting(*args):
+        calls["fused"] += 1
+        return orig(*args)
+
+    fused_predict.fused_predict_f = counting
+    try:
+        mean, var = jax.vmap(predict_f, in_axes=(0, 0, None))(params2, cache2, x)
+    finally:
+        fused_predict.fused_predict_f = orig
+    assert calls["fused"] == 0
+    mean_r, var_r = predict_f_reference(params, cache, x)
+    np.testing.assert_allclose(mean[0], mean_r, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(var[0], var_r, rtol=1e-5, atol=1e-7)
 
 
 def test_padding_independence(interpreted_pallas):

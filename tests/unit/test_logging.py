@@ -1,0 +1,96 @@
+"""Observability tests: writer output shape, filtering, deferred closures
+(reference ``tests/unit/test_logging.py``)."""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from trieste_tpu.logging import (
+    JsonlSummaryWriter,
+    SummaryFilterPatterns,
+    default_summary_filter,
+    get_step_number,
+    histogram,
+    make_summary_writer,
+    scalar,
+    set_step_number,
+    set_summary_filter,
+    step_number,
+    tensorboard_writer,
+    text,
+)
+
+
+def _read_events(logdir):
+    with open(logdir / "events.jsonl") as f:
+        return [json.loads(line) for line in f]
+
+
+def test_jsonl_writer_event_shapes(tmp_path):
+    w = JsonlSummaryWriter(str(tmp_path))
+    with tensorboard_writer(w), step_number(3):
+        scalar("loss", 1.5)
+        histogram("qp", np.arange(10.0))
+        text("meta", "hello")
+    w.close()
+    events = _read_events(tmp_path)
+    assert [e["tag"] for e in events] == ["loss", "qp", "meta"]
+    assert all(e["step"] == 3 for e in events)
+    assert events[0]["value"] == 1.5
+    h = events[1]["histogram"]
+    assert h["count"] == 10 and h["min"] == 0.0 and h["max"] == 9.0
+    assert events[2]["text"] == "hello"
+
+
+def test_underscore_summaries_filtered(tmp_path):
+    w = JsonlSummaryWriter(str(tmp_path))
+    with tensorboard_writer(w):
+        scalar("_hidden", 1.0)
+        scalar("group/_hidden", 2.0)
+        scalar("visible", 3.0)
+    w.close()
+    assert [e["tag"] for e in _read_events(tmp_path)] == ["visible"]
+
+
+def test_closures_not_evaluated_without_writer():
+    calls = {"n": 0}
+
+    def expensive():
+        calls["n"] += 1
+        return 1.0
+
+    with tensorboard_writer(None):
+        scalar("x", expensive)
+    assert calls["n"] == 0
+
+
+def test_logging_errors_swallowed(tmp_path, capsys):
+    w = JsonlSummaryWriter(str(tmp_path))
+    with tensorboard_writer(w):
+        scalar("bad", lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    w.close()
+    assert "failed to log scalar bad" in capsys.readouterr().out
+
+
+def test_make_summary_writer_tensorboard_and_fallback(tmp_path):
+    tb = make_summary_writer(str(tmp_path / "tb"))
+    # torch is baked in, so the default is a REAL TensorBoard event-file writer
+    assert type(tb).__name__ == "SummaryWriter"
+    tb.add_scalar("x", 1.0, 0)
+    tb.close()
+    assert any(p.name.startswith("events.out.tfevents") for p in (tmp_path / "tb").iterdir())
+    jl = make_summary_writer(str(tmp_path / "jl"), prefer_tensorboard=False)
+    assert isinstance(jl, JsonlSummaryWriter)
+    jl.close()
+
+
+def test_step_number_validation_and_patterns():
+    with pytest.raises(ValueError):
+        set_step_number(-1)
+    assert default_summary_filter("a/b")
+    assert not default_summary_filter("a/_b")
+    pat = SummaryFilterPatterns(include="wallclock*", exclude="_*")
+    assert pat("wallclock/step")
+    assert not pat("other")

@@ -157,3 +157,72 @@ def test_continuous_optimizer_does_not_retrace_across_state_changes(key):
     misses_before = _optimize_continuous_core._cache_size()
     opt(space, Partial(pure_acq, jnp.asarray([0.8])), key=key)
     assert _optimize_continuous_core._cache_size() == misses_before
+
+
+def test_continuous_optimizer_respects_nonlinear_constraints(key):
+    """When the unconstrained optimum is infeasible the returned point must be feasible
+    (reference switches scipy to trust-constr, ``optimizer.py:735``; here a quadratic
+    exact penalty + feasibility-filtered winner selection)."""
+    from trieste_tpu.space import NonlinearConstraint
+
+    # unconstrained max of -(x-0.9)^2-(y-0.9)^2 is (0.9, 0.9): infeasible under x+y<=1
+    c = NonlinearConstraint(lambda x: x[..., 0] + x[..., 1], lb=0.0, ub=1.0)
+    space = Box([0.0, 0.0], [1.0, 1.0], constraints=[c])
+
+    def acq(x):
+        x = jnp.asarray(x)[..., 0, :]
+        return -jnp.sum((x - 0.9) ** 2, axis=-1, keepdims=True)
+
+    opt = generate_continuous_optimizer(num_initial_samples=256, num_optimization_runs=8)
+    got = opt(space, acq, key=key)
+    assert bool(space.is_feasible(got)[0])
+    # the constrained optimum is on the boundary at (0.5, 0.5); the quadratic exact
+    # penalty localizes the boundary to a few percent
+    np.testing.assert_allclose(np.asarray(got), [[0.5, 0.5]], atol=2e-2)
+
+
+def test_continuous_optimizer_respects_linear_constraints(key):
+    from trieste_tpu.space import LinearConstraint
+
+    c = LinearConstraint(A=jnp.array([[1.0, -1.0]]), lb=jnp.array([-0.1]), ub=jnp.array([0.1]))
+    space = Box([0.0, 0.0], [1.0, 1.0], constraints=[c])
+
+    def acq(x):  # unconstrained max at (1, 0): violates |x-y| <= 0.1
+        x = jnp.asarray(x)[..., 0, :]
+        return (x[..., 0] - x[..., 1])[..., None] - jnp.sum((x - 0.5) ** 2, axis=-1, keepdims=True)
+
+    opt = generate_continuous_optimizer(num_initial_samples=256, num_optimization_runs=8)
+    got = opt(space, acq, key=key)
+    assert bool(space.is_feasible(got)[0])
+
+
+def test_all_nan_acquisition_raises_failed_optimization(key):
+    """Reference semantics (``optimizer.py:461-530``): if no candidate anywhere produces
+    a finite value, optimization fails loudly."""
+    from trieste_tpu.acquisition.optimizer import FailedOptimizationError
+
+    space = Box([0.0], [1.0])
+    opt = generate_continuous_optimizer(num_initial_samples=64, num_optimization_runs=4)
+
+    def nan_acq(x):
+        x = jnp.asarray(x)[..., 0, :]
+        return jnp.full(x.shape[:-1] + (1,), jnp.nan)
+
+    with pytest.raises(FailedOptimizationError):
+        opt(space, nan_acq, key=key)
+
+
+def test_partially_nan_acquisition_recovers_via_seed_union(key):
+    """The seed-union winner selection is the recovery-run replacement: NaN regions are
+    masked to -inf and the finite region's optimum is still returned."""
+    space = Box([0.0], [1.0])
+    opt = generate_continuous_optimizer(num_initial_samples=256, num_optimization_runs=8)
+
+    def patchy_acq(x):  # NaN on the right half, smooth peak at 0.25 on the left
+        x = jnp.asarray(x)[..., 0, :]
+        val = -jnp.sum((x - 0.25) ** 2, axis=-1, keepdims=True)
+        return jnp.where(x[..., :1] > 0.5, jnp.nan, val)
+
+    got = opt(space, patchy_acq, key=key)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    np.testing.assert_allclose(np.asarray(got), [[0.25]], atol=5e-3)

@@ -134,3 +134,29 @@ def test_discretize(box, key):
     d = box.discretize(key, 30)
     assert d.points.shape == (30, 2)
     assert bool(jnp.all(box.contains(d.points)))
+
+
+def test_box_product_preserves_constraints(key):
+    """Products carry both operands' constraints, re-indexed onto the product dims."""
+    c1 = LinearConstraint(A=jnp.ones((1, 2)), lb=jnp.array([0.5]), ub=jnp.array([2.0]))
+    c2 = NonlinearConstraint(lambda x: x[..., 0] - x[..., 1], lb=-0.25, ub=0.25)
+    left = Box([0.0, 0.0], [1.0, 1.0], constraints=[c1])
+    right = Box([0.0, 0.0], [1.0, 1.0], constraints=[c2])
+    prod = left * right
+    assert prod.dimension == 4
+    assert prod.has_constraints
+    assert len(prod.constraints) == 2
+    # feasibility factorizes over operands
+    good = jnp.array([[0.5, 0.5, 0.4, 0.5]])
+    bad_left = jnp.array([[0.1, 0.1, 0.4, 0.5]])  # sum < 0.5 violates c1
+    bad_right = jnp.array([[0.5, 0.5, 0.9, 0.1]])  # diff > 0.25 violates c2
+    assert bool(prod.is_feasible(good)[0])
+    assert not bool(prod.is_feasible(bad_left)[0])
+    assert not bool(prod.is_feasible(bad_right)[0])
+    s = prod.sample_feasible(key, 30)
+    assert bool(jnp.all(prod.is_feasible(s)))
+
+
+def test_box_product_unconstrained_stays_unconstrained():
+    prod = Box([0.0], [1.0]) * Box([0.0], [1.0])
+    assert not prod.has_constraints

@@ -1,0 +1,95 @@
+"""Distributional accuracy of trajectory samplers (role of reference
+``tests/unit/models/gpflow/test_sampler.py``): the empirical mean/variance over many
+independent trajectory draws must match the exact GP posterior, and drawn trajectories
+must be deterministic functions (same x -> same value).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trieste_tpu.data import Dataset
+from trieste_tpu.models.gp.gpr import GaussianProcessRegression
+from trieste_tpu.models.gp.posterior import GPRParams
+from trieste_tpu.models.gp.sampler import (
+    BatchReparametrizationSampler,
+    DecoupledTrajectorySampler,
+    RandomFourierFeatureTrajectorySampler,
+)
+from trieste_tpu.ops.kernels import stationary
+
+
+@pytest.fixture(scope="module")
+def gpr():
+    key = jax.random.PRNGKey(0)
+    X = jax.random.uniform(key, (12, 1), minval=-1.0, maxval=1.0)
+    Y = jnp.sin(3.0 * X)
+    ds = Dataset.from_arrays(X, Y)
+    params = GPRParams(
+        kernel=stationary("rbf", 1.0, 0.4),
+        noise_variance=jnp.asarray(1e-3),
+        mean_constant=jnp.asarray(0.0),
+    )
+    return GaussianProcessRegression(params, ds, num_rff_features=1024)
+
+
+def _trajectory_moments(sampler_factory, key, x, n_draws=300):
+    draws = []
+    keys = jax.random.split(key, n_draws)
+    sampler = sampler_factory()
+    for k in keys:
+        traj = sampler.get_trajectory(k, batch_size=1)
+        draws.append(np.asarray(traj(x[:, None, :])[:, 0]))
+    draws = np.stack(draws)  # [n_draws, N, 1]
+    return draws.mean(0), draws.var(0)
+
+
+@pytest.mark.parametrize(
+    "factory_name", ["rff", "decoupled"]
+)
+def test_trajectory_moments_match_posterior(gpr, factory_name, key):
+    x = jnp.linspace(-1.0, 1.0, 15)[:, None]
+    factory = {
+        "rff": lambda: RandomFourierFeatureTrajectorySampler(gpr, 1024),
+        "decoupled": lambda: DecoupledTrajectorySampler(gpr, 1024),
+    }[factory_name]
+    emp_mean, emp_var = _trajectory_moments(factory, key, x)
+    mean, var = gpr.predict(x)
+    mean, var = np.asarray(mean), np.asarray(var)
+    # n_draws=300 Monte-Carlo error + RFF kernel approximation error
+    np.testing.assert_allclose(emp_mean, mean, atol=0.15)
+    np.testing.assert_allclose(emp_var, var, atol=0.15)
+
+
+def test_trajectory_is_deterministic_function(gpr, key):
+    for cls, arg in (
+        (RandomFourierFeatureTrajectorySampler, 256),
+        (DecoupledTrajectorySampler, 256),
+    ):
+        traj = cls(gpr, arg).get_trajectory(key, batch_size=2)
+        x = jnp.array([[[0.1], [0.5]], [[0.1], [0.5]]])  # same point twice
+        vals = traj(x)
+        np.testing.assert_allclose(np.asarray(vals[0]), np.asarray(vals[1]), rtol=1e-6)
+
+
+def test_batch_reparam_sampler_moments(gpr, key):
+    """Joint reparametrization samples match the joint posterior's mean/cov."""
+    x = jnp.array([[-0.5], [0.2], [0.7]])
+    sampler = BatchReparametrizationSampler(2000, gpr)
+    samples = sampler.sample(x[None], key=key)  # [..., S, B, L]
+    s = np.asarray(samples).reshape(-1, 3)
+    mean, cov = gpr.predict_joint(x)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mean)[:, 0], atol=0.08)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(cov)[0], atol=0.08)
+
+
+def test_batch_reparam_sampler_is_frozen_in_sample_noise(gpr, key):
+    """The same sampler object reuses its base randomness across calls (the reference's
+    qMC-consistency property for optimization stability)."""
+    sampler = BatchReparametrizationSampler(16, gpr)
+    x = jnp.array([[0.3]])
+    a = sampler.sample(x[None], key=key)
+    b = sampler.sample(x[None], key=jax.random.PRNGKey(999))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -137,3 +137,51 @@ def test_batch_trust_region_state_roundtrip(space):
     np.testing.assert_allclose(
         np.asarray(state2.subspaces[0].lower), np.asarray(state.subspaces[0].lower)
     )
+
+
+def test_mask_to_region_is_device_resident_and_stable(key):
+    """Local datasets keep the global capacity (no recompiles as membership fluctuates)
+    and preserve insertion order of member rows."""
+    from trieste_tpu.acquisition.trust_region import _mask_to_region
+    from trieste_tpu.data import Dataset
+
+    X = jax.random.uniform(key, (10, 2))
+    Y = jnp.sum(X, axis=-1, keepdims=True)
+    ds = Dataset.from_arrays(X, Y)  # capacity 16
+    misses0 = None
+
+    for lo in (0.0, 0.3, 0.6, 0.95):
+        inside = jnp.all(X >= lo, axis=-1)
+        inside_padded = jnp.concatenate([inside, jnp.zeros(ds.capacity - 10, bool)])
+        local = _mask_to_region(ds, inside_padded)
+        assert local.capacity == ds.capacity  # shape-stable
+        n = int(jnp.sum(inside))
+        assert int(local.num_points) == n
+        expected = np.asarray(X)[np.asarray(inside)]
+        np.testing.assert_allclose(np.asarray(local.trimmed_query_points), expected)
+        if misses0 is None:
+            misses0 = _mask_to_region._cache_size()
+
+    # every membership pattern after the first reused the SAME compiled program
+    assert _mask_to_region._cache_size() == misses0
+
+
+def test_batch_trust_region_filter_keeps_capacity(key):
+    """End-to-end: filter_datasets yields local datasets at the global capacity."""
+    from trieste_tpu.acquisition.trust_region import BatchTrustRegionBox
+    from trieste_tpu.acquisition.utils import with_local_datasets
+    from trieste_tpu.data import Dataset
+    from trieste_tpu.objectives import SimpleQuadratic
+    from trieste_tpu.observer import OBJECTIVE
+    from tests.util.models import QuadraticMeanAndRBFKernel
+
+    space = SimpleQuadratic.search_space
+    X = space.sample(key, 12)
+    ds = Dataset.from_arrays(X, SimpleQuadratic.objective(X))
+    rule = BatchTrustRegionBox(init_subspaces=3)
+    rule.initialize_subspaces(space)
+    datasets = dict(with_local_datasets({OBJECTIVE: ds}, 3))
+    models = {OBJECTIVE: QuadraticMeanAndRBFKernel()}
+    state, filtered = rule.filter_datasets(models, datasets)(None)
+    for tag, local in filtered.items():
+        assert local.capacity == ds.capacity

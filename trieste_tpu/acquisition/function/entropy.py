@@ -352,8 +352,20 @@ def _cost_weighted_fn(base: Callable, costs: jax.Array, x: TensorType) -> jax.Ar
     return base(x) / costs[fid][..., None]
 
 
+def _reciprocal_cost_fn(costs: jax.Array, x: TensorType) -> jax.Array:
+    xq = jnp.asarray(x)
+    fid = xq[..., 0, -1].astype(jnp.int32)
+    return 1.0 / costs[fid][..., None]
+
+
 class CostWeighting(SingleModelAcquisitionBuilder):
-    """(reference ``entropy.py:792-850``)"""
+    """Reciprocal per-fidelity observation cost (reference ``entropy.py:792-850``).
+
+    Like the reference, it is a standalone builder whose function is ``1/cost(fid)``,
+    designed to be combined multiplicatively, e.g.
+    ``Product(MUMBO(space).using(OBJECTIVE), CostWeighting(costs).using(OBJECTIVE))``.
+    ``apply_to(base_fn)`` is a convenience returning ``base_fn(x)/cost(fid)`` directly.
+    """
 
     def __init__(self, observation_costs: Sequence[float]):
         self._costs = jnp.asarray(observation_costs, dtype=float)
@@ -361,9 +373,12 @@ class CostWeighting(SingleModelAcquisitionBuilder):
     def prepare_acquisition_function(
         self, model, dataset: Optional[Dataset] = None
     ) -> AcquisitionFunction:
-        raise NotImplementedError(
-            "CostWeighting wraps another acquisition; use apply_to(base_fn)"
-        )
+        return Partial(_reciprocal_cost_fn, self._costs)
+
+    def update_acquisition_function(
+        self, function, model, dataset: Optional[Dataset] = None
+    ) -> AcquisitionFunction:
+        return function
 
     def apply_to(self, base_fn: AcquisitionFunction) -> AcquisitionFunction:
         return Partial(_cost_weighted_fn, base_fn, self._costs)

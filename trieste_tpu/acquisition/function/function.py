@@ -504,6 +504,13 @@ def _analytic_qei_fn(
     m = mean[..., 0]  # [..., B]
     S = cov[..., 0, :, :]  # [..., B, B]
     Q = m.shape[-1]
+    if qmc_points.shape[-1] < max(Q - 1, 1):
+        # the builder pre-sizes the QMC set for moderate batches; larger batches (the
+        # reference handles general q, ``function.py:1189``) regenerate at trace time
+        # since Q is static here
+        from ...ops.qmc import sobol_sample
+
+        qmc_points = sobol_sample(qmc_points.shape[0], Q - 1, skip=1).astype(m.dtype)
     dtype = m.dtype
     total = jnp.zeros(m.shape[:-1], dtype)
     for k in range(Q):

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..logging import scalar
+from ..parallel.mesh import current_pool_sharding, round_to_mesh
 from ..space import (
     Box,
     CollectionSearchSpace,
@@ -143,7 +144,7 @@ def _space_bounds_and_discrete_mask(
     )
 
 
-@partial(jax.jit, static_argnames=("num_runs", "max_iters"))
+@partial(jax.jit, static_argnames=("num_runs", "max_iters", "pool_sharding"))
 def _optimize_continuous_core(
     acq: Callable[[TensorType], jax.Array],
     seeds: jax.Array,  # [N, V, D]
@@ -152,19 +153,41 @@ def _optimize_continuous_core(
     discrete_mask: jax.Array,  # [D] bool
     num_runs: int,
     max_iters: int,
+    pool_sharding=None,
+    residual_fn=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One fused device program: seed scoring → top-k starts → lockstep multi-start
     L-BFGS → per-slice winner over runs and seeds. Returns ``(points [V, D],
-    values [V], improvement [V])``."""
+    values [V], improvement [V])``.
+
+    With ``pool_sharding`` (a ``NamedSharding`` over the leading axis, supplied when a
+    global mesh is active) the N seed candidates and the R multi-start runs are sharded
+    across devices; the ``top_k``/``argmax`` selections become XLA collectives. This is
+    the multi-chip replacement for the reference's greenlet engine
+    (``acquisition/optimizer.py:566-745``).
+
+    ``residual_fn`` (``[..., D] -> [..., n_res]``, feasible iff all residuals >= 0)
+    makes the optimization constraint-aware — the device-program counterpart of the
+    reference switching scipy to ``trust-constr`` (``optimizer.py:735``): a quadratic
+    exact-penalty term steers the L-BFGS runs toward the feasible region, and the winner
+    selection discards infeasible candidates (the feasibly-sampled seeds guarantee a
+    feasible fallback always exists)."""
     N, V, D = seeds.shape
+    if pool_sharding is not None:
+        seeds = jax.lax.with_sharding_constraint(seeds, pool_sharding)
     seed_vals = acq(seeds)  # [N, V]
     seed_vals = jnp.where(jnp.isfinite(seed_vals), seed_vals, -jnp.inf)
+    if residual_fn is not None:
+        seed_feasible = jnp.all(residual_fn(seeds) >= -1e-7, axis=-1)  # [N, V]
+        seed_vals = jnp.where(seed_feasible, seed_vals, -jnp.inf)
     top_vals, top_idx = jax.lax.top_k(seed_vals.T, num_runs)  # [V, R]
     # starts[r] holds, for every slice v, that slice's r-th best seed point
     starts = jnp.take_along_axis(
         seeds.transpose(1, 0, 2), top_idx[..., None], axis=1
     )  # [V, R, D]
     starts = starts.transpose(1, 0, 2)  # [R, V, D]
+    if pool_sharding is not None:
+        starts = jax.lax.with_sharding_constraint(starts, pool_sharding)
 
     # per-slice normalization: slices are optimized through a shared line search on the
     # sum, so wildly different magnitudes (e.g. small- vs large-beta LCB slices) would let
@@ -178,9 +201,18 @@ def _optimize_continuous_core(
         1e6,
     )  # [V]; == 1 everywhere when V == 1
 
+    # exact-penalty weight per slice: large relative to the (scaled) acquisition
+    # magnitude so constraint violation always loses, while staying finite so gradients
+    # pull violated runs back inside instead of exploding the line search
+    penalty_weight = 100.0 * (1.0 + magnitudes * slice_scale)  # [V]
+
     def neg_sum_acq(xflat: jax.Array) -> jax.Array:
         x = xflat.reshape(V, D)
-        return -jnp.sum(acq(x[None])[0] * slice_scale)
+        value = jnp.sum(acq(x[None])[0] * slice_scale)
+        if residual_fn is not None:
+            violation = jnp.square(jax.nn.relu(-residual_fn(x)))  # [V, n_res]
+            value = value - jnp.sum(penalty_weight * jnp.sum(violation, axis=-1))
+        return -value
 
     # freeze discrete dims per run by collapsing their box to the seeded value
     def run_bounds(start: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -198,6 +230,9 @@ def _optimize_continuous_core(
     opt_points = jax.vmap(one_run)(starts)  # [R, V, D]
     opt_vals = acq(opt_points)  # [R, V]
     opt_vals = jnp.where(jnp.isfinite(opt_vals), opt_vals, -jnp.inf)
+    if residual_fn is not None:
+        opt_feasible = jnp.all(residual_fn(opt_points) >= -1e-7, axis=-1)  # [R, V]
+        opt_vals = jnp.where(opt_feasible, opt_vals, -jnp.inf)
 
     # winner per slice over optimized runs and all seeds
     best_run = jnp.argmax(opt_vals, axis=0)  # [V]
@@ -235,8 +270,9 @@ def generate_continuous_optimizer(
             key = jax.random.PRNGKey(np.random.randint(2**31))
         fn, V = _as_vectorized(f)
         D = space.dimension
-        N = num_initial_samples or max(NUM_SAMPLES_MIN, NUM_SAMPLES_DIM * D)
-        R = num_optimization_runs or NUM_RUNS_DIM * D
+        pool_sharding = current_pool_sharding()
+        N = round_to_mesh(num_initial_samples or max(NUM_SAMPLES_MIN, NUM_SAMPLES_DIM * D))
+        R = round_to_mesh(num_optimization_runs or NUM_RUNS_DIM * D)
         R = min(R, N)
 
         if isinstance(space, TaggedMultiSearchSpace):
@@ -263,8 +299,16 @@ def generate_continuous_optimizer(
             lower = jnp.broadcast_to(lower_d, (V, D))
             upper = jnp.broadcast_to(upper_d, (V, D))
 
+        from jax.tree_util import Partial
+
+        residual_fn = (
+            Partial(space.constraints_residuals)
+            if getattr(space, "has_constraints", False)
+            else None
+        )
         points, values, improvement = _optimize_continuous_core(
-            fn, seeds, lower, upper, discrete_mask, R, max_iters
+            fn, seeds, lower, upper, discrete_mask, R, max_iters,
+            pool_sharding=pool_sharding, residual_fn=residual_fn,
         )
         scalar("spo_af_evaluations", N + R * max_iters)
         scalar("spo_improvement_on_initial_samples", lambda: float(jnp.sum(improvement)))

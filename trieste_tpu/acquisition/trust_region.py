@@ -229,7 +229,11 @@ class BatchTrustRegion(
             self._initialized = True
             self._subspaces = tuple(subspaces)
 
-            # re-mask local datasets to their regions (reference :1535-1561)
+            # re-mask local datasets to their regions (reference :1535-1561),
+            # device-resident: the local dataset keeps the GLOBAL padded capacity and
+            # only permutes rows / shrinks num_points, so downstream jits (model fit,
+            # posterior cache) see a stable shape across steps even as region
+            # membership fluctuates — no per-step recompilation
             filtered: dict[Tag, Dataset] = {}
             for tag, dataset in datasets.items():
                 ltag = LocalizedTag.from_tag(tag)
@@ -240,20 +244,32 @@ class BatchTrustRegion(
                 if ltag.is_local:
                     global_ds = filtered.get(ltag.global_tag, dataset)
                     region = subspaces[ltag.local_index]
-                    qp, obs = global_ds.astuple()
-                    inside = np.asarray(region.contains(qp))
-                    if not inside.any():
+                    inside = region.contains(global_ds.query_points) & global_ds.mask
+                    local_ds = _mask_to_region(global_ds, inside)
+                    if int(local_ds.num_points) == 0:
                         # a freshly (re)initialized region may contain no observations
                         # yet; fall back to the full dataset so models/acquisitions
                         # remain buildable until the region collects its own points
                         filtered[tag] = global_ds
                     else:
-                        filtered[tag] = Dataset.from_arrays(
-                            np.asarray(qp)[inside], np.asarray(obs)[inside]
-                        )
+                        filtered[tag] = local_ds
             return BatchTrustRegionState(tuple(subspaces)), filtered
 
         return state_func
+
+
+@jax.jit
+def _mask_to_region(global_ds: Dataset, inside: jax.Array) -> Dataset:
+    """Restrict a padded dataset to the rows where ``inside`` holds, at unchanged
+    capacity: a stable partition moves member rows to the front (preserving insertion
+    order) and ``num_points`` drops to the member count. One compiled program per
+    capacity bucket, reused by every region on every step."""
+    order = jnp.argsort(~inside, stable=True)  # members first, original order kept
+    return Dataset(
+        global_ds.query_points[order],
+        global_ds.observations[order],
+        jnp.sum(inside).astype(jnp.int32),
+    )
 
 
 def _select_local(mapping: Mapping[Tag, object], index: int) -> dict[Tag, object]:

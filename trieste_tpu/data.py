@@ -190,6 +190,21 @@ def check_and_extract_fidelity_query_points(
         )
     input_points = query_points[..., :-1]
     fidelity_col = query_points[..., -1:]
+    # concrete (non-traced) fidelities are validated eagerly, matching the reference's
+    # checks (``data.py:115-161``): non-negative integers, bounded by max_fidelity
+    if not isinstance(fidelity_col, jax.core.Tracer):
+        import numpy as np
+
+        fids = np.asarray(fidelity_col)
+        if fids.size:
+            if np.any(fids < 0):
+                raise ValueError(f"fidelity must be non-negative, got minimum {fids.min()}")
+            if np.any(fids != np.round(fids)):
+                raise ValueError("fidelity column must contain integer values")
+            if max_fidelity is not None and np.any(fids > max_fidelity):
+                raise ValueError(
+                    f"fidelity {fids.max()} exceeds the maximum fidelity {max_fidelity}"
+                )
     return input_points, fidelity_col
 
 

@@ -1,11 +1,19 @@
 """Experimental plotting (reference ``trieste/experimental/plotting/__init__.py:20-47``)."""
 
 from .plotting import (
+    convert_figure_to_frame,
+    convert_frames_to_gif,
     create_grid,
+    format_point_markers,
+    plot_acq_function_2d,
     plot_bo_points,
+    plot_feasible_region_2d,
     plot_function_2d,
     plot_gp_2d,
+    plot_mobo_history,
     plot_mobo_points_in_obj_space,
+    plot_objective_and_constraints,
+    plot_pareto_front_2d,
     plot_regret,
     plot_trust_region_history_2d,
 )
@@ -19,13 +27,21 @@ from .plotting_plotly import (
 __all__ = [
     "PLOTLY_AVAILABLE",
     "add_bo_points_plotly",
+    "convert_figure_to_frame",
+    "convert_frames_to_gif",
     "create_grid",
+    "format_point_markers",
+    "plot_acq_function_2d",
     "plot_bo_points",
+    "plot_feasible_region_2d",
     "plot_function_2d",
     "plot_function_plotly",
     "plot_gp_2d",
+    "plot_mobo_history",
     "plot_mobo_points_in_obj_space",
     "plot_model_predictions_plotly",
+    "plot_objective_and_constraints",
+    "plot_pareto_front_2d",
     "plot_regret",
     "plot_trust_region_history_2d",
 ]

@@ -81,6 +81,21 @@ class JsonlSummaryWriter:
         self._f.close()
 
 
+def make_summary_writer(logdir: str, prefer_tensorboard: bool = True) -> Any:
+    """Create a summary writer for ``logdir``: a real TensorBoard event-file writer
+    (``torch.utils.tensorboard.SummaryWriter``) when available and preferred — meeting
+    the reference's TensorBoard-visualization promise — else the dependency-free
+    :class:`JsonlSummaryWriter`."""
+    if prefer_tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(logdir)
+        except Exception:  # noqa: BLE001 — torch or tensorboard missing/broken
+            pass
+    return JsonlSummaryWriter(logdir)
+
+
 def set_tensorboard_writer(writer: Optional[Any]) -> None:
     """Set the global summary writer (reference ``logging.py:31-41``)."""
     global _WRITER

@@ -33,11 +33,12 @@ from . import posterior as P
 from .training import GPRTrainingResult, fit_gpr
 
 
-@partial(jax.jit, static_argnames=("num_starts", "train_noise", "max_iters"))
-def _jit_fit(key, params, X, Y, mask, num_starts, train_noise, max_iters):
+@partial(jax.jit, static_argnames=("num_starts", "train_noise", "max_iters", "pool_sharding"))
+def _jit_fit(key, params, X, Y, mask, num_starts, train_noise, max_iters, pool_sharding):
     return fit_gpr(
         key, params, X, Y, mask,
         num_starts=num_starts, train_noise=train_noise, max_iters=max_iters,
+        pool_sharding=pool_sharding,
     )
 
 
@@ -218,7 +219,12 @@ class GaussianProcessRegression:
         )
 
     def optimize(self, dataset: Dataset) -> GPRTrainingResult:
-        """Multi-start maximum-likelihood training (reference ``models.py:256-322``)."""
+        """Multi-start maximum-likelihood training (reference ``models.py:256-322``).
+
+        When a global mesh is active (:mod:`trieste_tpu.parallel`) the restart pool is
+        rounded up to the mesh size and sharded across devices."""
+        from ...parallel.mesh import current_pool_sharding, round_to_mesh
+
         self._key, subkey = jax.random.split(self._key)
         result = _jit_fit(
             subkey,
@@ -226,9 +232,10 @@ class GaussianProcessRegression:
             dataset.query_points,
             dataset.observations,
             dataset.mask,
-            self._num_kernel_samples,
+            round_to_mesh(self._num_kernel_samples),
             self._train_noise,
             self._max_optimize_iters,
+            current_pool_sharding(),
         )
         self._params = result.params
         self._dataset = dataset

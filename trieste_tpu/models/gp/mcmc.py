@@ -94,9 +94,13 @@ class GaussianProcessRegressionMCMC:
 
     def _refresh_caches(self) -> None:
         ds = self._dataset
-        self._caches_stack = jax.vmap(P.build_cache, in_axes=(0, None, None, None))(
-            self._params_stack, ds.query_points, ds.observations, ds.mask
-        )
+        # the posterior mixture predicts via predict_f_reference, so skip the O(S·C³)
+        # LinvT build the fused path would need (it never dispatches for stacked states)
+        from functools import partial
+
+        self._caches_stack = jax.vmap(
+            partial(P.build_cache, with_linvt=False), in_axes=(0, None, None, None)
+        )(self._params_stack, ds.query_points, ds.observations, ds.mask)
 
     @property
     def params_stack(self) -> P.GPRParams:

@@ -57,14 +57,24 @@ class GPRCache:
     LinvT: Optional[jax.Array] = None  # [C, C]
 
 
-def build_cache(params: GPRParams, X: jax.Array, Y: jax.Array, mask: jax.Array) -> GPRCache:
-    """Factorize the training covariance (reference ``create_posterior_cache``)."""
+def build_cache(
+    params: GPRParams, X: jax.Array, Y: jax.Array, mask: jax.Array, *,
+    with_linvt: bool = True,
+) -> GPRCache:
+    """Factorize the training covariance (reference ``create_posterior_cache``).
+
+    ``with_linvt=False`` skips the extra O(C³) dense triangular inverse (and its O(C²)
+    memory) used only by the fused Pallas prediction path — pass it on code paths that
+    can never dispatch there, e.g. caches vmapped over hyperparameter samples (the MCMC
+    posterior mixture predicts via ``predict_f_reference``)."""
     m = mask.astype(X.dtype)
     K = gram(params.kernel, X)
     Kn = K + params.noise_variance * jnp.eye(X.shape[0], dtype=X.dtype)
     L = masked_cholesky(Kn, mask)
     ym = (Y - params.mean_constant) * m[:, None]
     alpha = cho_solve(L, ym)
+    if not with_linvt:
+        return GPRCache(X=X, mask=mask, L=L, alpha=alpha, LinvT=None)
     # masked triangular inverse for the fused prediction kernel: the padded block of L
     # is the identity, so zeroing its rows/cols removes the padded contribution exactly
     Linv = solve_lower(L, jnp.eye(X.shape[0], dtype=X.dtype)) * (m[:, None] * m[None, :])

@@ -208,8 +208,10 @@ def fit_sgpr(
     train_noise: bool = True,
     train_inducing: bool = True,
     max_iters: int = 100,
+    pool_sharding=None,
 ) -> SGPRTrainingResult:
-    """Multi-start L-BFGS on the negative collapsed ELBO."""
+    """Multi-start L-BFGS on the negative collapsed ELBO. ``pool_sharding`` shards the
+    restart pool over the active mesh (see :mod:`trieste_tpu.parallel`)."""
 
     def loss_fn(u):
         p = _sgpr_unpack(u, params, train_noise, train_inducing)
@@ -226,6 +228,8 @@ def fit_sgpr(
     ls_count = 1 if jnp.shape(params.kernel.lengthscales) == () else jnp.shape(params.kernel.lengthscales)[0]
     keep = keep.at[1 + ls_count].set(False)  # mean constant
     starts = jnp.concatenate([u0[None], u0[None] + shifts * keep[None, :]], axis=0)
+    if pool_sharding is not None:
+        starts = jax.lax.with_sharding_constraint(starts, pool_sharding)
     results = jax.vmap(lambda s: minimize_lbfgs(loss_fn, s, max_iters=max_iters))(starts)
     losses = jnp.where(jnp.isfinite(results.fun), results.fun, jnp.inf)
     best = jnp.argmin(losses)
@@ -345,6 +349,8 @@ class SparseGaussianProcessRegression:
         self._refresh()
 
     def optimize(self, dataset: Dataset) -> SGPRTrainingResult:
+        from ...parallel.mesh import current_pool_sharding, round_to_mesh
+
         self._key, sub = jax.random.split(self._key)
         result = _jit_sgpr_fit(
             sub,
@@ -352,10 +358,11 @@ class SparseGaussianProcessRegression:
             dataset.query_points,
             dataset.observations,
             dataset.mask,
-            self._num_starts,
+            round_to_mesh(self._num_starts),
             self._train_noise,
             self._train_inducing,
             self._max_iters,
+            current_pool_sharding(),
         )
         self._params = result.params
         self._dataset = dataset
@@ -400,12 +407,18 @@ _jit_sgpr_predict = jax.jit(sgpr_predict_f)
 _jit_sgpr_predict_joint = jax.jit(sgpr_predict_joint)
 
 
-@partial(jax.jit, static_argnames=("num_starts", "train_noise", "train_inducing", "max_iters"))
-def _jit_sgpr_fit(key, params, X, Y, mask, num_starts, train_noise, train_inducing, max_iters):
+@partial(
+    jax.jit,
+    static_argnames=("num_starts", "train_noise", "train_inducing", "max_iters", "pool_sharding"),
+)
+def _jit_sgpr_fit(
+    key, params, X, Y, mask, num_starts, train_noise, train_inducing, max_iters, pool_sharding
+):
     return fit_sgpr(
         key, params, X, Y, mask,
         num_starts=num_starts, train_noise=train_noise,
         train_inducing=train_inducing, max_iters=max_iters,
+        pool_sharding=pool_sharding,
     )
 
 
@@ -518,8 +531,11 @@ def fit_svgp(
     train_noise: bool = True,
     max_iters: int = 100,
     num_alternations: int = 3,
+    num_starts: int = 5,
+    pool_sharding=None,
 ) -> SVGPTrainingResult:
-    """Alternate {exact variational update, hyperparameter L-BFGS on the ELBO}."""
+    """Alternate {exact variational update, hyperparameter L-BFGS on the ELBO}.
+    ``pool_sharding`` shards the restart pool over the active mesh."""
 
     def hyper_pack(p: SVGPParams) -> jax.Array:
         ls = jnp.atleast_1d(p.kernel.lengthscales)
@@ -562,7 +578,6 @@ def fit_svgp(
         return -svgp_elbo(p_q, X, Y, mask)
 
     u0 = hyper_pack(params)
-    num_starts = 5
     shifts = jax.random.uniform(
         key, (num_starts - 1, u0.shape[0]), dtype=u0.dtype, minval=-1.5, maxval=1.5
     )
@@ -571,6 +586,8 @@ def fit_svgp(
     n_ls = 1 if ls_shape == () else ls_shape[0]
     shifts = shifts.at[:, 1 + n_ls].set(0.0)
     starts = jnp.concatenate([u0[None], u0[None] + shifts], axis=0)
+    if pool_sharding is not None:
+        starts = jax.lax.with_sharding_constraint(starts, pool_sharding)
     results = jax.vmap(lambda s0: minimize_lbfgs(loss_fn, s0, max_iters=max_iters))(starts)
     losses = jnp.where(jnp.isfinite(results.fun), results.fun, jnp.inf)
     best = jnp.argmin(losses)
@@ -657,6 +674,8 @@ class SparseVariational:
             self._params = self._params.replace(inducing_points=Z)
 
     def optimize(self, dataset: Dataset) -> SVGPTrainingResult:
+        from ...parallel.mesh import current_pool_sharding, round_to_mesh
+
         result = _jit_svgp_fit(
             self._params,
             dataset.query_points,
@@ -664,6 +683,8 @@ class SparseVariational:
             dataset.mask,
             self._train_noise,
             self._max_iters,
+            round_to_mesh(5),
+            current_pool_sharding(),
         )
         self._params = result.params
         self._dataset = dataset
@@ -721,9 +742,10 @@ _jit_svgp_predict = jax.jit(svgp_predict_f)
 _jit_svgp_predict_joint = jax.jit(svgp_predict_joint)
 
 
-@partial(jax.jit, static_argnames=("train_noise", "max_iters"))
-def _jit_svgp_fit(params, X, Y, mask, train_noise, max_iters):
+@partial(jax.jit, static_argnames=("train_noise", "max_iters", "num_starts", "pool_sharding"))
+def _jit_svgp_fit(params, X, Y, mask, train_noise, max_iters, num_starts, pool_sharding):
     return fit_svgp(
         jax.random.PRNGKey(0), params, X, Y, mask,
         train_noise=train_noise, max_iters=max_iters,
+        num_starts=num_starts, pool_sharding=pool_sharding,
     )

@@ -98,15 +98,23 @@ def fit_gpr(
     num_starts: int = 10,
     train_noise: bool = True,
     max_iters: int = 100,
+    pool_sharding=None,
 ) -> GPRTrainingResult:
     """Train GPR hyperparameters by multi-start L-BFGS on the negative log marginal
-    likelihood; jittable end to end."""
+    likelihood; jittable end to end.
+
+    ``pool_sharding`` (a leading-axis ``NamedSharding``, threaded through automatically
+    by the model wrappers when a global mesh is active — see
+    :mod:`trieste_tpu.parallel`) shards the restart pool across devices; the final
+    ``argmin`` is an XLA collective."""
 
     def loss_fn(u: jax.Array) -> jax.Array:
         p = unpack_params(u, params, train_noise)
         return -log_marginal_likelihood(p, X, Y, mask)
 
     starts = randomize_starts(key, params, num_starts, train_noise)
+    if pool_sharding is not None:
+        starts = jax.lax.with_sharding_constraint(starts, pool_sharding)
     results = jax.vmap(
         lambda u0: minimize_lbfgs(loss_fn, u0, max_iters=max_iters)
     )(starts)

@@ -38,8 +38,9 @@ bf16-grade, ~1e-2 relative — unusable everywhere here):
   these contractions made the kernel slower than unfused XLA (2.3 vs 1.85 ms at C=256;
   12.4 vs 11.7 ms at C=1024 — no reason to fuse); HIGHEST on just the mean (narrow
   output, looks free) still cost ~30% because the compiler re-splits all of K 3-way.
-  ``α`` and ``L⁻ᵀ`` are pre-split host-side once per posterior refit (also halving the
-  L⁻ᵀ VMEM footprint); ``K`` is split per tile in VMEM.
+  The hi/lo splits of ``α`` and ``L⁻ᵀ`` are computed in-graph at each traced call of
+  :func:`fused_predict_f` (XLA hoists/fuses them; the cost is O(C²), negligible next to
+  the O(N·C²) kernel); ``K`` is split per tile in VMEM.
 
 Measured on v5e (N=131072, D=6): 1.6 ms vs 1.85 ms unfused XLA at C=256;
 7.1 ms vs 11.7 ms at C=1024.
@@ -150,9 +151,31 @@ def _make_kernel(kind: str):
     return kernel
 
 
+def _is_batch_traced(*arrays) -> bool:
+    """True when any operand is a ``vmap`` batch tracer: per-example ndim checks cannot
+    see the batch axis, so without this the kernel would dispatch through the untested
+    Pallas batching rule for stacked model states."""
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # pragma: no cover — jax internals moved
+        # conservative fallback: treat any tracer whose type name mentions batching
+        # as batched
+        return any("Batch" in type(a).__name__ for a in arrays)
+    return any(isinstance(a, BatchTracer) for a in arrays)
+
+
 def can_fuse(params, cache, flat: jax.Array) -> bool:
     """Trace-time gate: TPU backend (or forced interpret), f32, stationary kernel,
-    unbatched model state, large-enough pool, LinvT present, capacity within VMEM budget."""
+    unbatched AND un-vmapped model state, large-enough pool, LinvT present, capacity
+    within VMEM budget, and (when values are concrete) adequate conditioning.
+
+    Conditioning: the bf16-split variance contract is ~2⁻¹⁶·‖K‖‖L⁻ᵀ‖ ABSOLUTE error.
+    With a very small likelihood variance (e.g. the README's 1e-7 low-noise recipe) the
+    true posterior variance near training data is far below that contract, so fused
+    variances there are noise. When the parameters are concrete (eager prediction) a
+    noise/signal ratio below 1e-5 falls back to XLA; under ``jit`` the values are traced
+    and unknowable, so low-noise users who need tight variances near data should score
+    pools with ``predict_f_reference``."""
     kernel = getattr(params, "kernel", None)
     kind = getattr(kernel, "kind", None)
     if kind not in ("rbf", "matern12", "matern32", "matern52"):
@@ -165,8 +188,18 @@ def can_fuse(params, cache, flat: jax.Array) -> bool:
         return False
     if kernel.variance.ndim != 0 or kernel.lengthscales.ndim > 1:
         return False
+    if _is_batch_traced(flat, cache.X, cache.alpha, kernel.variance, kernel.lengthscales):
+        return False
     if flat.shape[0] < MIN_POINTS or cache.X.shape[0] > _MAX_TRAIN:
         return False
+    noise = getattr(params, "noise_variance", None)
+    if (
+        noise is not None
+        and not isinstance(noise, jax.core.Tracer)
+        and not isinstance(kernel.variance, jax.core.Tracer)
+    ):
+        if float(noise) / max(float(kernel.variance), 1e-30) < 1e-5:
+            return False
     return jax.default_backend() == "tpu" or FORCE_INTERPRET
 
 

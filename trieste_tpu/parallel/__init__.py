@@ -1,20 +1,35 @@
-"""Multi-chip execution: mesh construction and sharded BO steps.
+"""Multi-chip execution: mesh construction and framework-wide pool sharding.
 
 The reference has no distributed backend (SURVEY.md §2.10/§5.8) — its parallelism is
 greenlet multi-start L-BFGS and vectorized acquisition. Here those axes become device
-axes on a ``jax.sharding.Mesh``: candidate pools, multi-start optimization runs, GP
-hyperparameter restarts and MC samples are sharded with ``NamedSharding`` and reduced
-with XLA collectives inserted by ``pjit``.
+axes on a ``jax.sharding.Mesh``: installing a mesh with :func:`set_global_mesh` (or the
+:func:`global_mesh` context manager) makes the acquisition optimizer shard its candidate
+pool and multi-start runs, and the GP trainers shard their hyperparameter restarts, with
+XLA inserting the cross-device ``top_k``/``argmin`` collectives over ICI. No separate
+"distributed" code path exists: ``BayesianOptimizer``, EGO, ``model.optimize`` and the
+Ask/Tell loop all pick up the active mesh transparently.
 """
 
-from .mesh import create_mesh, pool_sharding, replicated
-from .bo_step import distributed_acquisition_step, distributed_bo_step, distributed_fit
+from .mesh import (
+    POOL_AXIS,
+    create_mesh,
+    current_pool_sharding,
+    get_global_mesh,
+    global_mesh,
+    pool_sharding,
+    replicated,
+    round_to_mesh,
+    set_global_mesh,
+)
 
 __all__ = [
+    "POOL_AXIS",
     "create_mesh",
+    "current_pool_sharding",
+    "get_global_mesh",
+    "global_mesh",
     "pool_sharding",
     "replicated",
-    "distributed_acquisition_step",
-    "distributed_bo_step",
-    "distributed_fit",
+    "round_to_mesh",
+    "set_global_mesh",
 ]

@@ -8,13 +8,62 @@ points, L-BFGS restarts, hyperparameter restarts, MC samples), with only cheap
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import contextlib
+from typing import Iterator, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 POOL_AXIS = "pool"
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_global_mesh(mesh: Optional[Mesh]) -> None:
+    """Install ``mesh`` as the framework-wide pool mesh (``None`` disables sharding).
+
+    While a mesh is active, every pool-shaped stage of the framework — acquisition seed
+    candidates, multi-start L-BFGS runs (:mod:`trieste_tpu.acquisition.optimizer`), and
+    GP hyperparameter restarts (``fit_gpr``/``fit_sgpr``/``fit_svgp``) — is sharded over
+    its ``"pool"`` axis via ``with_sharding_constraint``; XLA inserts the cross-device
+    ``top_k``/``argmin`` collectives. This replaces the reference's single-host greenlet
+    concurrency (``acquisition/optimizer.py:566-745``) with ICI-parallel execution.
+    """
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_global_mesh() -> Optional[Mesh]:
+    """The currently active pool mesh, or ``None``."""
+    return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def global_mesh(mesh: Optional[Mesh]) -> Iterator[Optional[Mesh]]:
+    """Context manager form of :func:`set_global_mesh`."""
+    previous = _ACTIVE_MESH
+    set_global_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_global_mesh(previous)
+
+
+def current_pool_sharding() -> Optional[NamedSharding]:
+    """Leading-axis pool sharding for the active mesh, or ``None`` when unsharded."""
+    if _ACTIVE_MESH is None:
+        return None
+    return NamedSharding(_ACTIVE_MESH, PartitionSpec(POOL_AXIS))
+
+
+def round_to_mesh(n: int) -> int:
+    """Round a pool size up to a multiple of the active mesh size (identity without a
+    mesh) so sharded axes divide evenly across devices."""
+    if _ACTIVE_MESH is None:
+        return n
+    d = _ACTIVE_MESH.size
+    return ((n + d - 1) // d) * d
 
 
 def create_mesh(

@@ -64,6 +64,14 @@ class LinearConstraint(Constraint):
         ax = points @ self.A.T
         return jnp.concatenate([ax - self.lb, self.ub - ax], axis=-1)
 
+    def shift(self, offset: int, width: int, total_dim: int) -> "LinearConstraint":
+        """The same constraint acting on dims ``[offset, offset + width)`` of a
+        ``total_dim``-dimensional product space (used by ``Box.__mul__`` so products
+        preserve both operands' constraints, reference ``space.py:729-1118``)."""
+        A = jnp.zeros((self.A.shape[0], total_dim), self.A.dtype)
+        A = A.at[:, offset : offset + width].set(self.A)
+        return LinearConstraint(A, self.lb, self.ub)
+
     def __repr__(self) -> str:
         return f"LinearConstraint(A={self.A!r}, lb={self.lb!r}, ub={self.ub!r})"
 
@@ -90,6 +98,16 @@ class NonlinearConstraint(Constraint):
         if val.ndim == jnp.asarray(points).ndim - 1:
             val = val[..., None]
         return jnp.concatenate([val - self.lb, self.ub - val], axis=-1)
+
+    def shift(self, offset: int, width: int, total_dim: int) -> "NonlinearConstraint":
+        """The same constraint reading dims ``[offset, offset + width)`` of a
+        ``total_dim``-dimensional product space."""
+        inner, lo, hi = self.f, offset, offset + width
+
+        def shifted(points: TensorType) -> TensorType:
+            return inner(jnp.asarray(points)[..., lo:hi])
+
+        return NonlinearConstraint(shifted, self.lb, self.ub)
 
     def __repr__(self) -> str:
         return f"NonlinearConstraint(f={self.f!r}, lb={self.lb!r}, ub={self.ub!r})"
@@ -366,7 +384,8 @@ class Box(SearchSpace):
     def sample(self, key: jax.Array, num_samples: int) -> jax.Array:
         """Uniform sampling (reference ``space.py:843-860``)."""
         u = jax.random.uniform(
-            key, (num_samples, self.dimension), dtype=jnp.dtype(self._lower.dtype)
+            key, (num_samples, self.dimension),
+            dtype=jax.dtypes.canonicalize_dtype(self._lower.dtype),
         )
         return self._lower + u * (self._upper - self._lower)
 
@@ -374,7 +393,10 @@ class Box(SearchSpace):
         """Randomized Halton sampling, fully on device (reference ``space.py:862-886``)."""
         from .ops.qmc import halton_sample
 
-        u = halton_sample(key, num_samples, self.dimension, dtype=self._lower.dtype)
+        u = halton_sample(
+            key, num_samples, self.dimension,
+            dtype=jax.dtypes.canonicalize_dtype(self._lower.dtype),
+        )
         return self._lower + u * (self._upper - self._lower)
 
     def sample_sobol(self, num_samples: int, skip: Optional[int] = None) -> jax.Array:
@@ -382,7 +404,10 @@ class Box(SearchSpace):
         scipy direction numbers (init-time only), then placed on device."""
         from .ops.qmc import sobol_sample
 
-        u = sobol_sample(num_samples, self.dimension, skip=skip, dtype=self._lower.dtype)
+        u = sobol_sample(
+            num_samples, self.dimension, skip=skip,
+            dtype=jax.dtypes.canonicalize_dtype(self._lower.dtype),
+        )
         return self._lower + u * (self._upper - self._lower)
 
     # -- feasible sampling via rejection (reference space.py:917-1050) -------------
@@ -441,9 +466,18 @@ class Box(SearchSpace):
 
     def __mul__(self, other: SearchSpace) -> SearchSpace:
         if isinstance(other, Box):
+            d1, d2 = self.dimension, other.dimension
+            total = d1 + d2
+            # both operands' constraints survive the product, re-indexed onto the
+            # product dims (reference products preserve constraint state,
+            # ``space.py:729-1118``)
+            constraints = [c.shift(0, d1, total) for c in self._constraints] + [
+                c.shift(d1, d2, total) for c in other._constraints
+            ]
             return Box(
                 np.concatenate([self._lower, other._lower]),
                 np.concatenate([self._upper, other._upper]),
+                constraints=constraints or None,
             )
         return TaggedProductSearchSpace([self, other])
 
