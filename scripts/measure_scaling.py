@@ -1,0 +1,130 @@
+"""Measure weak-scaling of the pool-sharded hot paths on a device mesh.
+
+Records relative throughput of the two hot device programs —
+``_optimize_continuous_core`` (acquisition seed scoring + multi-start L-BFGS) and
+``fit_gpr`` (GP hyperparameter restarts) — at 1/2/4/8 devices with the *per-device* pool
+held constant (weak scaling), into ``SCALING.json``. Maps to BASELINE.json's
+"≥80% acquisition-throughput scaling 1→N hosts" north star; on real TPU hardware each
+virtual device is a chip and the curve is meaningful — on a CPU CI host emulating 8
+devices over fewer physical cores the curve saturates at the core count, so the artifact
+records ``physical_cores`` alongside for interpretation (the loud regression detector is
+the HLO-sharding assertion in ``tests/unit/test_parallel.py``).
+
+Usage: ``python scripts/measure_scaling.py [--devices 1,2,4,8] [--out SCALING.json]``
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+# the axon TPU plugin overrides JAX_PLATFORMS; force the backend via config instead
+# (same trick as tests/conftest.py) unless the caller wants the real TPU curve
+if os.environ.get("SCALING_BACKEND", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+if jax.default_backend() == "cpu" and len(jax.devices()) < 8:
+    raise SystemExit("run with XLA_FLAGS=--xla_force_host_platform_device_count=8")
+
+import jax.numpy as jnp
+
+from trieste_tpu.acquisition.optimizer import generate_continuous_optimizer
+from trieste_tpu.data import Dataset
+from trieste_tpu.models.gp.builders import default_gpr_params
+from trieste_tpu.models.gp.training import fit_gpr
+from trieste_tpu.parallel import create_mesh, global_mesh, pool_sharding
+from trieste_tpu.space import Box
+
+PER_DEVICE_SEEDS = 2048
+PER_DEVICE_RUNS = 8
+PER_DEVICE_RESTARTS = 8
+REPS = 5
+
+
+def _time(fn) -> float:
+    fn()  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        fn()
+    return (time.perf_counter() - t0) / REPS
+
+
+def measure(num_devices_list) -> dict:
+    key = jax.random.PRNGKey(0)
+    D = 6
+    space = Box(jnp.zeros(D), jnp.ones(D))
+    X = jax.random.uniform(key, (64, D))
+    Y = jnp.sum(jnp.square(X - 0.4), axis=-1, keepdims=True)
+    ds = Dataset.from_arrays(X, Y)
+    params = default_gpr_params(ds, space)
+
+    def acq(x):
+        x = jnp.asarray(x)[..., 0, :]
+        return -jnp.sum(jnp.square(x - 0.3), axis=-1, keepdims=True)
+
+    results = {"acquisition": [], "fit_gpr": []}
+    for nd in num_devices_list:
+        mesh = create_mesh(nd)
+        n_seeds = PER_DEVICE_SEEDS * nd
+        n_runs = PER_DEVICE_RUNS * nd
+        opt = generate_continuous_optimizer(
+            num_initial_samples=n_seeds, num_optimization_runs=n_runs
+        )
+
+        with global_mesh(mesh):
+            t_acq = _time(
+                lambda: jax.block_until_ready(opt(space, acq, key=key))
+            )
+        results["acquisition"].append(
+            {"devices": nd, "pool": n_seeds, "seconds": t_acq,
+             "throughput_per_s": n_seeds / t_acq}
+        )
+
+        n_starts = PER_DEVICE_RESTARTS * nd
+        sh = pool_sharding(mesh)
+        t_fit = _time(
+            lambda: jax.block_until_ready(
+                fit_gpr(key, params, ds.query_points, ds.observations, ds.mask,
+                        num_starts=n_starts, max_iters=40, pool_sharding=sh)
+            )
+        )
+        results["fit_gpr"].append(
+            {"devices": nd, "pool": n_starts, "seconds": t_fit,
+             "throughput_per_s": n_starts / t_fit}
+        )
+
+    for name, rows in results.items():
+        base = rows[0]["throughput_per_s"]
+        for row in rows:
+            row["efficiency_vs_1dev"] = row["throughput_per_s"] / (
+                base * row["devices"] / rows[0]["devices"]
+            )
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--out", default="SCALING.json")
+    args = ap.parse_args()
+    nds = [int(x) for x in args.devices.split(",") if int(x) <= len(jax.devices())]
+    results = measure(nds)
+    payload = {
+        "backend": jax.default_backend(),
+        "num_devices_available": len(jax.devices()),
+        "physical_cores": os.cpu_count(),
+        "mode": "weak scaling (per-device pool constant)",
+        "results": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,11 +58,12 @@ def _run_vlmop2(rule, num_steps: int, seed: int = 0) -> float:
 
 
 def test_ehvi_finds_pareto_front_of_vlmop2_fast():
-    """Fast default-suite variant: reduced budget, looser threshold."""
+    """Fast default-suite variant: reduced optimizer budget, looser threshold (this
+    seed reaches −3.36 here and −3.71 on the slow 20-step reference envelope)."""
     rule = EfficientGlobalOptimization(
         ExpectedHypervolumeImprovement().using(OBJECTIVE), optimizer=FAST_OPT
     )
-    log_hv_diff = _run_vlmop2(rule, num_steps=10)
+    log_hv_diff = _run_vlmop2(rule, num_steps=15)
     assert log_hv_diff < -3.0, f"log hv diff {log_hv_diff}"
 
 
@@ -106,3 +107,70 @@ def test_mo_rules_find_pareto_front_of_vlmop2(rule_factory, num_steps, threshold
     """Reference thresholds (``test_multi_objective_bayesian_optimization.py:55-186``)."""
     log_hv_diff = _run_vlmop2(rule_factory(), num_steps=num_steps)
     assert log_hv_diff < threshold, f"log hv diff {log_hv_diff} vs {threshold}"
+
+
+def test_ehvi_with_fixed_true_scale_hyperparameters():
+    """Acquisition-quality diagnostic, decoupled from model fitting: with kernel
+    hyperparameters FIXED at sensible true-scale values (no optimize step), EHVI alone
+    must reach the fast envelope. If this passes while the fitted-model variant fails,
+    the blame is on hyperparameter training, not on the acquisition (VERDICT r2 #8)."""
+    from trieste_tpu.models.gp.gpr import GaussianProcessRegression
+    from trieste_tpu.models.gp.posterior import GPRParams
+    from trieste_tpu.models.interfaces import ModelStack
+    from trieste_tpu.ops.kernels import stationary
+
+    problem = VLMOP2
+    space = problem.search_space
+
+    class _FixedGPR(GaussianProcessRegression):
+        def optimize(self, dataset):  # hyperparameters stay fixed
+            self.update(dataset)
+            return None
+
+    class _FixedStack(ModelStack):
+        def update(self, dataset):
+            pass  # per-output update happens in optimize below
+
+        def optimize(self, dataset):
+            for idx, m in enumerate(self._models):
+                single = Dataset.from_arrays(
+                    dataset.trimmed_query_points,
+                    dataset.trimmed_observations[:, idx : idx + 1],
+                )
+                m.optimize(single)
+
+    def mk_fixed(data):
+        models = []
+        dtype = data.query_points.dtype
+        extent = space.upper - space.lower
+        for idx in range(2):
+            single = Dataset.from_arrays(
+                data.trimmed_query_points, data.trimmed_observations[:, idx : idx + 1]
+            )
+            params = GPRParams(
+                kernel=stationary(
+                    "matern52", variance=0.2, lengthscales=0.3 * extent, dtype=dtype
+                ),
+                noise_variance=jnp.asarray(1e-6, dtype),
+                mean_constant=jnp.mean(single.trimmed_observations).astype(dtype),
+            )
+            models.append((_FixedGPR(params, single), 1))
+        return _FixedStack(*models)
+
+    observer = mk_observer(problem.objective)
+    k_init, k_opt = jax.random.split(jax.random.PRNGKey(0))
+    initial_data = observer(space.sample(k_init, 10))
+    model = mk_fixed(initial_data)
+    rule = EfficientGlobalOptimization(
+        ExpectedHypervolumeImprovement().using(OBJECTIVE), optimizer=FAST_OPT
+    )
+    result = tt.BayesianOptimizer(observer, space).optimize(
+        15, initial_data, model, rule, key=k_opt, track_state=False
+    )
+    dataset = result.final_result.unwrap().datasets[OBJECTIVE]
+    ideal_pf = problem.gen_pareto_optimal_points(100, jax.random.PRNGKey(1))
+    ref_point = get_reference_point(ideal_pf)
+    obs_hv = Pareto(dataset.trimmed_observations).hypervolume_indicator(ref_point)
+    ideal_hv = Pareto(ideal_pf).hypervolume_indicator(ref_point)
+    log_hv_diff = float(jnp.log(jnp.maximum(ideal_hv - obs_hv, 1e-12)))
+    assert log_hv_diff < -3.0, f"log hv diff {log_hv_diff}"

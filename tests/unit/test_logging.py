@@ -94,3 +94,72 @@ def test_step_number_validation_and_patterns():
     pat = SummaryFilterPatterns(include="wallclock*", exclude="_*")
     assert pat("wallclock/step")
     assert not pat("other")
+
+
+def test_pairplot_figure_logged(tmp_path):
+    """Multi-output observation pairplots reach the writer as figures (reference
+    seaborn pairplot summaries, ``bayesian_optimizer.py:977-1106``)."""
+    import numpy as np
+
+    from trieste_tpu.experimental.plotting.pairplot import (
+        observation_groups,
+        pairplot,
+    )
+    from trieste_tpu.logging import pyplot, set_summary_filter, step_number
+
+    data = np.random.default_rng(0).normal(size=(12, 2))
+    groups = observation_groups(5, 4, 3, np.array([True] * 2 + [False] * 10))
+    assert groups[0] == "initial (non-dominated)" and groups[-1] == "new"
+    fig = pairplot(data, groups)
+    w = JsonlSummaryWriter(str(tmp_path))
+    with tensorboard_writer(w):
+        set_summary_filter(lambda name: True)  # pairplots are _-prefixed -> opt in
+        try:
+            with step_number(3):
+                pyplot("OBJECTIVE.observations/_pairplot", fig)
+        finally:
+            set_summary_filter(default_summary_filter)
+    w.close()
+    pngs = [p for p in tmp_path.iterdir() if p.suffix == ".png"]
+    assert len(pngs) == 1 and pngs[0].stat().st_size > 0
+
+
+def test_loop_writes_pairplot_summaries(tmp_path):
+    """A 2-objective BO loop records observation pairplot figures when enabled."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import trieste_tpu as tt
+    from trieste_tpu.acquisition.rule import RandomSampling
+    from trieste_tpu.data import Dataset
+    from trieste_tpu.logging import set_summary_filter
+    from trieste_tpu.objectives import mk_observer
+    from trieste_tpu.observer import OBJECTIVE
+    from trieste_tpu.space import Box
+    from tests.util.models import QuadraticMeanAndRBFKernel, PseudoTrainableProbModel
+
+    class _Trainable(QuadraticMeanAndRBFKernel, PseudoTrainableProbModel):
+        pass
+
+    def two_obj(x):
+        return jnp.concatenate([jnp.sum(x**2, -1, keepdims=True),
+                                jnp.sum((x - 1.0) ** 2, -1, keepdims=True)], axis=-1)
+
+    space = Box([0.0, 0.0], [1.0, 1.0])
+    observer = mk_observer(two_obj)
+    data = observer(space.sample(jax.random.PRNGKey(0), 4))
+    w = JsonlSummaryWriter(str(tmp_path))
+    with tensorboard_writer(w):
+        set_summary_filter(lambda name: True)
+        try:
+            result = tt.BayesianOptimizer(observer, space).optimize(
+                2, data, _Trainable(), RandomSampling(num_query_points=2),
+                key=jax.random.PRNGKey(1), track_state=False, fit_model=False,
+            )
+        finally:
+            set_summary_filter(default_summary_filter)
+    w.close()
+    assert result.is_ok
+    names = [p.name for p in tmp_path.iterdir()]
+    assert any("_pairplot" in n and n.endswith(".png") for n in names), names

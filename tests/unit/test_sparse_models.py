@@ -134,3 +134,47 @@ def test_dpp_selector_is_diverse(problem):
     d = np.linalg.norm(np.asarray(Z)[:, None] - np.asarray(Z)[None, :], axis=-1)
     np.fill_diagonal(d, np.inf)
     assert d.min() > 1e-6
+
+
+def test_dpp_quality_function_biases_selection(problem):
+    """The quality-diversity decomposition (reference
+    ``inducing_point_selectors.py:247-400``): with an improvement quality function the
+    greedy DPP must allocate more inducing points near low-mean regions than the
+    unit-quality (pure variance) selector, and a huge-quality point must be picked
+    first."""
+    from trieste_tpu.models.gp.inducing_points import (
+        DPPInducingPointSelector,
+        ModelBasedImprovementQualityFunction,
+        QualityFunction,
+        UnitQualityFunction,
+    )
+
+    space, ds = problem
+    gpr = build_gpr(ds, space)
+
+    class SpikeQuality(QualityFunction):
+        def __call__(self, model, dataset):
+            qp = dataset.trimmed_query_points
+            q = jnp.full((qp.shape[0],), 1e-6, qp.dtype)
+            return q.at[7].set(1e6)
+
+    Z = DPPInducingPointSelector(SpikeQuality()).calculate_inducing_points(
+        jnp.zeros((5, 2)), gpr, ds
+    )
+    spike = ds.trimmed_query_points[7]
+    np.testing.assert_allclose(np.asarray(Z[0]), np.asarray(spike))
+
+    # improvement-weighted selection concentrates nearer the low-observation region
+    Z_unit = DPPInducingPointSelector(UnitQualityFunction()).calculate_inducing_points(
+        jnp.zeros((8, 2)), gpr, ds
+    )
+    Z_impr = DPPInducingPointSelector(
+        ModelBasedImprovementQualityFunction()
+    ).calculate_inducing_points(jnp.zeros((8, 2)), gpr, ds)
+    obs = np.asarray(ds.trimmed_observations[:, 0])
+    best = np.asarray(ds.trimmed_query_points[np.argmin(obs)])
+
+    def mean_dist_to_best(Z):
+        return float(np.mean(np.linalg.norm(np.asarray(Z) - best, axis=-1)))
+
+    assert mean_dist_to_best(Z_impr) <= mean_dist_to_best(Z_unit) + 0.35

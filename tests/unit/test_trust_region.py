@@ -67,18 +67,52 @@ def test_region_reinitializes_when_tiny(space):
 
 
 def test_trego_alternates_phases(space):
+    """Reference phase machine (``rule.py:1979``): success -> global, failure ->
+    toggle; the first post-init update is always a success (``_y_min`` starts inf)."""
     region = TREGOBox(space, key=jax.random.PRNGKey(0))
     region.initialize(datasets={OBJECTIVE: mk_dataset([[0.5, 0.5]], [[10.0]])})
     assert region.is_global
-    # failure -> local phase
+    # first update is always a success (y_min starts at inf) -> stays global,
+    # recentres on the best point
+    region.update(datasets={OBJECTIVE: mk_dataset([[0.5, 0.5]], [[20.0]])})
+    assert region.is_global
+    np.testing.assert_allclose(np.asarray(region.location), [0.5, 0.5])
+    # no improvement -> failure -> toggle to local phase
     region.update(datasets={OBJECTIVE: mk_dataset([[0.5, 0.5]], [[20.0]])})
     assert not region.is_global
-    # success -> back to global (pin the local region over the improving point)
-    region.location = jnp.array([0.45, 0.45])
-    region.eps = jnp.array([0.3, 0.3])
-    region._resize_bounds()
+    # improvement while local -> success -> back to global, eps expanded
+    eps_before = np.asarray(region.eps).copy()
     region.update(datasets={OBJECTIVE: mk_dataset([[0.4, 0.4]], [[-5.0]])})
     assert region.is_global
+    np.testing.assert_allclose(np.asarray(region.eps), eps_before / 0.7, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(region.location), [0.4, 0.4])
+    # failure while global -> toggle back to local, eps unchanged (global-mode eps
+    # updates are no-ops, reference rule.py:1969-1975)
+    eps_before = np.asarray(region.eps).copy()
+    region.update(datasets={OBJECTIVE: mk_dataset([[0.4, 0.4]], [[-5.0]])})
+    assert not region.is_global
+    np.testing.assert_allclose(np.asarray(region.eps), eps_before)
+
+
+def test_trego_never_filters_dataset(space):
+    """TREGO's local dataset keeps every point (reference ``rule.py:2004-2023``)."""
+    region = TREGOBox(space, key=jax.random.PRNGKey(0))
+    region.initialize()
+    region._is_global = False
+    region.location = jnp.array([0.1, 0.1])
+    region.eps = jnp.array([0.05, 0.05])
+    region._resize_bounds()
+    ds = mk_dataset([[0.1, 0.1], [0.9, 0.9]], [[1.0], [2.0]])
+    mask = region.dataset_filter_mask(ds)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(ds.mask))
+    # while a plain region restricts to membership
+    plain = SingleObjectiveTrustRegionBox(space, key=jax.random.PRNGKey(0))
+    plain.initialize()
+    plain.location = jnp.array([0.1, 0.1])
+    plain.eps = jnp.array([0.05, 0.05])
+    plain._resize_bounds()
+    pmask = np.asarray(plain.dataset_filter_mask(ds))
+    assert pmask[0] and not pmask[1]
 
 
 def test_turbo_doubles_and_halves(space):

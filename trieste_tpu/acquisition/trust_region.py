@@ -77,6 +77,13 @@ class UpdatableTrustRegion(SearchSpace):
     ) -> None:
         raise NotImplementedError
 
+    def dataset_filter_mask(self, global_ds: Dataset) -> jax.Array:
+        """Row mask of the global dataset that this region's local dataset keeps
+        (reference ``get_datasets_filter_mask``, ``rule.py:1186-1210``). Default:
+        region membership. TREGO overrides to keep the full dataset."""
+        qp = self.with_input_active_dims(global_ds.query_points)
+        return self.contains(qp) & global_ds.mask
+
     def _get_tagged_dataset(
         self, datasets: Optional[Mapping[Tag, Dataset]]
     ) -> Optional[Dataset]:
@@ -244,7 +251,7 @@ class BatchTrustRegion(
                 if ltag.is_local:
                     global_ds = filtered.get(ltag.global_tag, dataset)
                     region = subspaces[ltag.local_index]
-                    inside = region.contains(global_ds.query_points) & global_ds.mask
+                    inside = region.dataset_filter_mask(global_ds)
                     local_ds = _mask_to_region(global_ds, inside)
                     if int(local_ds.num_points) == 0:
                         # a freshly (re)initialized region may contain no observations
@@ -338,6 +345,7 @@ class SingleObjectiveTrustRegionBox(UpdatableTrustRegionBox):
             np.random.randint(2**31)
         )
         self._needs_init = True
+        self._region_initialized = False
         self._y_min = np.inf
         self.location: Optional[jax.Array] = None
         self.eps: Optional[jax.Array] = None
@@ -374,20 +382,26 @@ class SingleObjectiveTrustRegionBox(UpdatableTrustRegionBox):
         self.location = g.sample(sub, 1)[0]
         self.eps = self._zeta * (g.upper - g.lower)
         self._resize_bounds()
-        _, self._y_min = self._region_min(datasets)
+        # no data observed for this fresh region yet: force the first update to be a
+        # success so the location recentres on the best point (reference
+        # ``HypercubeTrustRegion.__init__``/``initialize``, ``rule.py:1664-1667``)
+        self._y_min = np.inf
+        self._region_initialized = True
         self._needs_init = False
+
+    def _step_success(self, y_new: float) -> bool:
+        """Improvement beyond ``kappa``-scaled region volume (reference ``rule.py:1694-1695``)."""
+        tr_volume = float(jnp.prod(self.upper - self.lower))
+        return y_new < self._y_min - self._kappa * tr_volume
 
     def update(self, models=None, datasets=None) -> None:
         best_point, y_new = self._region_min(datasets)
-        if best_point is None:
-            self.eps = self.eps * self._beta
-        elif y_new < self._y_min - self._kappa * abs(self._y_min):
+        if best_point is not None and self._step_success(y_new):
             # success: recentre on the best point and expand
             self.location = best_point
             self.eps = self.eps / self._beta
             self._y_min = y_new
         else:
-            self._y_min = min(self._y_min, y_new)
             self.eps = self.eps * self._beta
         if float(jnp.max(self.eps)) < self._min_eps:
             self._needs_init = True
@@ -412,7 +426,14 @@ class BatchTrustRegionBox(BatchTrustRegion):
 
 class TREGOBox(SingleObjectiveTrustRegionBox):
     """TREGO: alternate between a global phase (the whole space) and a local
-    trust-region phase, switching on failure/success (reference ``rule.py:1923-2035``)."""
+    trust-region phase (reference ``rule.py:1923-2035``, :cite:`diouane2022trego`).
+
+    Reference semantics replicated exactly: success keeps/returns the search global,
+    failure *toggles* the phase (global→local, local→global); ``eps`` only changes
+    when the completed step was local; the tracked minimum is the **global** dataset
+    minimum; the model always sees the full dataset (``get_datasets_filter_mask`` is
+    all-true, reference ``rule.py:2004-2023``); the first initialization starts
+    global, re-initializations (after ``eps`` collapse) start local."""
 
     def __init__(self, global_search_space: Box, **kwargs: object):
         super().__init__(global_search_space, **kwargs)  # type: ignore[arg-type]
@@ -429,25 +450,43 @@ class TREGOBox(SingleObjectiveTrustRegionBox):
         else:
             super()._resize_bounds()
 
+    def dataset_filter_mask(self, global_ds: Dataset) -> jax.Array:
+        # TREGO never filters the dataset: the model is always fit on all points
+        # (reference rule.py:2004-2023)
+        return global_ds.mask
+
+    def _global_min(
+        self, datasets: Optional[Mapping[Tag, Dataset]]
+    ) -> Tuple[Optional[jax.Array], float]:
+        """Best (point, value) over the FULL dataset (reference ``get_dataset_min``
+        with ``in_region_only=False``, ``rule.py:2025-2035``)."""
+        ds = self._get_tagged_dataset(datasets)
+        if ds is None or len(ds) == 0:
+            return None, np.inf
+        qp, obs = ds.astuple()
+        qp = np.asarray(self.with_input_active_dims(qp))
+        obs = np.asarray(obs)[:, 0]
+        idx = int(np.argmin(obs))
+        return jnp.asarray(qp[idx]), float(obs[idx])
+
     def initialize(self, models=None, datasets=None) -> None:
-        self._is_global = True
+        # first initialization starts global; re-initializations start local
+        # (reference rule.py:1986-2001: the _update_domain toggle inverts this flag)
+        self._is_global = not self._region_initialized
         super().initialize(models, datasets)
 
     def update(self, models=None, datasets=None) -> None:
-        best_point, y_new = self._region_min(datasets)
-        success = best_point is not None and y_new < self._y_min - self._kappa * abs(
-            self._y_min
-        )
+        best_point, y_new = self._global_min(datasets)
+        success = best_point is not None and self._step_success(y_new)
+        if not self._is_global:
+            # eps only changes while in the local phase (reference eps setter no-ops
+            # in global mode, rule.py:1969-1975)
+            self.eps = self.eps / self._beta if success else self.eps * self._beta
         if success:
             self.location = best_point
             self._y_min = y_new
-            if not self._is_global:
-                self.eps = self.eps / self._beta
-        else:
-            if not self._is_global:
-                self.eps = self.eps * self._beta
-        # phase alternation: global on success, local on failure (reference :1988-2009)
-        self._is_global = success
+        # phase: success -> global; failure -> toggle (reference rule.py:1979)
+        self._is_global = success or not self._is_global
         if float(jnp.max(self.eps)) < self._min_eps:
             self._needs_init = True
             self.initialize(models, datasets)
@@ -687,19 +726,17 @@ class SingleObjectiveTrustRegionDiscrete(UpdatableTrustRegionDiscrete):
         self.location = g.points[idx]
         self.eps = self._zeta
         self._resize()
-        _, self._y_min = self._region_min(datasets)
+        # fresh region: first update is always a success (reference rule.py:1664-1667)
+        self._y_min = np.inf
         self._needs_init = False
 
     def update(self, models=None, datasets=None) -> None:
         best_point, y_new = self._region_min(datasets)
-        if best_point is None:
-            self.eps *= self._beta
-        elif y_new < self._y_min - self._kappa * abs(self._y_min):
+        if best_point is not None and y_new < self._y_min - self._kappa * abs(self._y_min):
             self.location = best_point
             self.eps /= self._beta
             self._y_min = y_new
         else:
-            self._y_min = min(self._y_min, y_new)
             self.eps *= self._beta
         if self.eps < self._min_eps:
             self._needs_init = True

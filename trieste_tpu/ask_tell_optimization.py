@@ -61,10 +61,15 @@ class AskTellOptimizerABC(ABC, Generic[StateType]):
         models = dict(models)
         if not datasets or not models:
             raise ValueError("dicts of datasets and models must be populated.")
-        if datasets.keys() != models.keys():
+        # compare modulo local tags: a state restored from a local-dataset (trust-region)
+        # run carries LocalizedTag datasets next to a single global model (reference
+        # handles exactly this on restore — ``ask_tell_optimization.py:253-268,282-320``)
+        dataset_gtags = {LocalizedTag.from_tag(tag).global_tag for tag in datasets}
+        model_gtags = {LocalizedTag.from_tag(tag).global_tag for tag in models}
+        if dataset_gtags != model_gtags:
             raise ValueError(
-                f"datasets and models should contain the same keys. Got {datasets.keys()} "
-                f"and {models.keys()} respectively."
+                f"datasets and models should contain the same keys (modulo local tags). "
+                f"Got {datasets.keys()} and {models.keys()} respectively."
             )
         self._search_space = search_space
         self._datasets = datasets

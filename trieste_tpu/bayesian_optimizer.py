@@ -258,7 +258,12 @@ class BayesianOptimizer(Generic[StateType]):
             key = jax.random.PRNGKey(np.random.randint(2**31))
 
         history: list[Union[Record[StateType], FrozenRecord[StateType]]] = []
-        query_plot_dfs: dict = {}
+        # sizes at entry: rows up to these counts are plotted as "initial" in the
+        # pairplot summaries (role of the reference's observation_plot_dfs,
+        # bayesian_optimizer.py:977-1006)
+        initial_counts = {
+            tag: int(ds.num_points) for tag, ds in datasets.items()
+        }
         writer = get_tensorboard_writer()
         if writer is not None:
             text(
@@ -378,8 +383,10 @@ class BayesianOptimizer(Generic[StateType]):
 
                 if writer is not None:
                     write_summary_observations(
-                        datasets, models, tagged_output, model_fitting_timer
+                        datasets, models, tagged_output, model_fitting_timer,
+                        initial_counts,
                     )
+                    write_summary_query_points(datasets, initial_counts)
                     scalar("wallclock/step", total_step_wallclock_timer.time)
                     scalar(
                         "wallclock/query_point_generation",
@@ -463,19 +470,88 @@ def write_summary_observations(
     models: Mapping[Tag, ProbabilisticModel],
     tagged_output: Mapping[Tag, Dataset],
     model_fitting_timer: Timer,
+    initial_counts: Optional[Mapping[Tag, int]] = None,
 ) -> None:
-    """Log per-tag best/new observations (reference ``bayesian_optimizer.py:1009-1106``)."""
+    """Log per-tag model internals, best/new observations (per output dimension) and,
+    for multi-output tags, an observation pairplot figure with non-dominated points
+    highlighted (reference ``bayesian_optimizer.py:1009-1106``)."""
+    from .logging import histogram, include_summary, pyplot
+
     for tag, dataset in ignoring_local_tags(datasets).items():
         obs = np.asarray(dataset.trimmed_observations)
         if obs.size == 0:
             continue
-        if obs.shape[-1] == 1:
-            scalar(f"{tag}.observation.best_overall", float(obs.min()))
-        if tag in tagged_output:
-            new_obs = np.asarray(tagged_output[tag].trimmed_observations)
-            if new_obs.size and new_obs.shape[-1] == 1:
-                scalar(f"{tag}.observation.best_new", float(new_obs.min()))
+        model = models.get(tag)
+        if model is not None and hasattr(model, "log"):
+            try:
+                model.log(dataset)
+            except Exception:  # noqa: BLE001 - diagnostics must not kill the loop
+                pass
+        L = obs.shape[-1]
+        new_obs = (
+            np.asarray(tagged_output[tag].trimmed_observations)
+            if tag in tagged_output
+            else np.zeros((0, L))
+        )
+        for i in range(L):
+            suffix = f"[{i}]" if L > 1 else ""
+            if new_obs.size:
+                histogram(f"{tag}.observation{suffix}/new_observations", new_obs[..., i])
+                scalar(
+                    f"{tag}.observation{suffix}/best_new_observation",
+                    float(new_obs[..., i].min()),
+                )
+            scalar(f"{tag}.observation{suffix}/best_overall", float(obs[..., i].min()))
+        if L >= 2 and include_summary(f"{tag}.observations/_pairplot"):
+            try:
+                from .acquisition.multi_objective.dominance import non_dominated
+                from .experimental.plotting.pairplot import (
+                    observation_groups,
+                    pairplot,
+                )
+
+                n_init = min((initial_counts or {}).get(tag, 0), obs.shape[0])
+                n_new = min(new_obs.shape[0], obs.shape[0] - n_init)
+                n_old = obs.shape[0] - n_init - n_new
+                _, nd_mask = non_dominated(jnp.asarray(obs))
+                fig = pairplot(
+                    obs,
+                    observation_groups(n_init, n_old, n_new, np.asarray(nd_mask)),
+                )
+                pyplot(f"{tag}.observations/_pairplot", fig)
+            except Exception:  # noqa: BLE001
+                pass
     scalar("wallclock/model_fitting", model_fitting_timer.time)
+
+
+def write_summary_query_points(
+    datasets: Mapping[Tag, Dataset],
+    initial_counts: Optional[Mapping[Tag, int]] = None,
+) -> None:
+    """Log per-input-dimension query-point histograms and (for D>=2) a query-point
+    pairplot (reference ``bayesian_optimizer.py:1109-1157``)."""
+    from .logging import histogram, include_summary, pyplot
+
+    for tag, dataset in ignoring_local_tags(datasets).items():
+        qp = np.asarray(dataset.trimmed_query_points)
+        if qp.size == 0:
+            continue
+        for i in range(qp.shape[-1]):
+            histogram(f"{tag}.query_points/[{i}]", qp[:, i])
+        if qp.shape[-1] >= 2 and include_summary(f"{tag}.query_points/_pairplot"):
+            try:
+                from .experimental.plotting.pairplot import (
+                    observation_groups,
+                    pairplot,
+                )
+
+                n_init = min((initial_counts or {}).get(tag, 0), qp.shape[0])
+                fig = pairplot(
+                    qp, observation_groups(n_init, qp.shape[0] - n_init, 0)
+                )
+                pyplot(f"{tag}.query_points/_pairplot", fig)
+            except Exception:  # noqa: BLE001
+                pass
 
 
 class _step_ctx:

@@ -74,6 +74,16 @@ class JsonlSummaryWriter:
         )
         self._f.flush()
 
+    def add_figure(self, tag: str, figure: Any, step: int, **kwargs: Any) -> None:
+        """Save the figure as a PNG next to the event file and record its path."""
+        safe = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in tag)
+        png = os.path.join(os.path.dirname(self._path), f"{safe}.{step:04d}.png")
+        figure.savefig(png, dpi=100)
+        self._f.write(
+            json.dumps({"t": time.time(), "tag": tag, "figure": png, "step": step}) + "\n"
+        )
+        self._f.flush()
+
     def flush(self) -> None:
         self._f.flush()
 
@@ -196,6 +206,12 @@ def pyplot(name: str, fig_or_fn: Any, **kwargs: Any) -> None:
         fig = _evaluate(fig_or_fn)
         if hasattr(_WRITER, "add_figure"):
             _WRITER.add_figure(name, fig, _STEP, **kwargs)
+        try:  # release host memory whether or not the writer consumed it
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+        except Exception:  # noqa: BLE001
+            pass
     except Exception as e:  # noqa: BLE001
         print(f"failed to log figure {name}: {e}")
 

@@ -4,6 +4,7 @@
 from .builders import build_gpr, build_sgpr, build_svgp, default_gpr_params
 from .gpr import GaussianProcessRegression
 from .posterior import GPRCache, GPRParams
+from .priors import GPPriors, default_priors, log_prior_density
 from .sampler import (
     BatchReparametrizationSampler,
     DecoupledTrajectorySampler,
@@ -58,6 +59,9 @@ __all__ = [
     "DPPInducingPointSelector",
     "build_gpr",
     "default_gpr_params",
+    "GPPriors",
+    "default_priors",
+    "log_prior_density",
     "GaussianProcessRegression",
     "GPRCache",
     "GPRParams",

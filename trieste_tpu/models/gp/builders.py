@@ -16,6 +16,7 @@ from ...space import SearchSpace
 from ...ops.kernels import MATERN52, stationary
 from .gpr import GaussianProcessRegression
 from .posterior import GPRParams
+from .priors import KERNEL_PRIOR_SCALE, GPPriors, default_priors
 
 NUM_INDUCING_POINTS_PER_DIM = 25
 """Default inducing points per input dimension (role of reference ``builders.py:66-73``)."""
@@ -24,8 +25,9 @@ SIGNAL_NOISE_RATIO_LIKELIHOOD = 10.0
 """Default signal-to-noise ratio used to initialize the likelihood variance
 (role of reference ``builders.py:75-83``)."""
 
-LENGTHSCALE_FRACTION = 0.2
-"""Initial lengthscales as a fraction of the search-space extent per dimension."""
+KERNEL_LENGTHSCALE = 0.2
+"""Initial lengthscales: ``0.2 · extent · √D`` per dimension (reference
+``_get_lengthscales``, ``builders.py:413-424``)."""
 
 
 def default_gpr_params(
@@ -36,12 +38,16 @@ def default_gpr_params(
     likelihood_variance: Optional[float] = None,
 ) -> GPRParams:
     """Data- and space-scaled initial hyperparameters (reference ``builders.py:85-200``)."""
+    import math
+
     y = dataset.trimmed_observations
     dtype = dataset.query_points.dtype
     y_var = jnp.maximum(jnp.var(y), 1e-6) if y.shape[0] > 1 else jnp.asarray(1.0, dtype)
     y_mean = jnp.mean(y) if y.shape[0] > 0 else jnp.asarray(0.0, dtype)
     extent = (search_space.upper - search_space.lower).astype(dtype)
-    lengthscales = LENGTHSCALE_FRACTION * extent
+    lengthscales = KERNEL_LENGTHSCALE * extent * math.sqrt(search_space.dimension)
+    # collapsed dimensions get a unit lengthscale (reference builders.py:418-423)
+    lengthscales = jnp.where(extent == 0.0, jnp.asarray(1.0, dtype), lengthscales)
     if likelihood_variance is None:
         noise = y_var / (SIGNAL_NOISE_RATIO_LIKELIHOOD**2)
     else:
@@ -59,18 +65,23 @@ def build_gpr(
     search_space: SearchSpace,
     *,
     kernel_kind: str = MATERN52,
+    kernel_priors: bool = True,
     likelihood_variance: Optional[float] = None,
-    trainable_likelihood: bool = True,
+    trainable_likelihood: bool = False,
     num_kernel_samples: int = 10,
     num_rff_features: int = 1000,
     optimize_key: Optional[jax.Array] = None,
 ) -> GaussianProcessRegression:
     """Build a :class:`GaussianProcessRegression` with defaults matching the role of the
-    reference's ``build_gpr`` (``builders.py:85-176``): Matérn-5/2 ARD kernel scaled to the
-    space, likelihood variance from a 10:1 signal-to-noise prior (or fixed if given)."""
+    reference's ``build_gpr`` (``builders.py:85-155``): Matérn-5/2 ARD kernel scaled to
+    the space, LogNormal MAP priors on the kernel hyperparameters (``kernel_priors=True``,
+    the fit stabilizer — reference ``builders.py:391-411``), likelihood variance from a
+    10:1 signal-to-noise ratio (or fixed if given) and, like the reference,
+    **non-trainable by default** (``builders.py:90``)."""
     params = default_gpr_params(
         dataset, search_space, kernel_kind=kernel_kind, likelihood_variance=likelihood_variance
     )
+    priors = default_priors(params.kernel, KERNEL_PRIOR_SCALE) if kernel_priors else None
     return GaussianProcessRegression(
         params,
         dataset,
@@ -78,6 +89,7 @@ def build_gpr(
         train_noise=trainable_likelihood,
         num_rff_features=num_rff_features,
         optimize_key=optimize_key,
+        priors=priors,
     )
 
 
@@ -86,22 +98,24 @@ def build_sgpr(
     search_space: SearchSpace,
     *,
     kernel_kind: str = MATERN52,
+    kernel_priors: bool = True,
     likelihood_variance: Optional[float] = None,
-    trainable_likelihood: bool = True,
+    trainable_likelihood: bool = False,
     num_inducing_points: Optional[int] = None,
     trainable_inducing: bool = True,
     inducing_point_selector: Optional[object] = None,
     optimize_key: Optional[jax.Array] = None,
 ):
     """Build a :class:`SparseGaussianProcessRegression` (role of reference
-    ``builders.py:179-279``): Matérn-5/2 ARD kernel, inducing points initialized by
-    k-means over the data (uniform if too few points)."""
+    ``builders.py:158-279``): Matérn-5/2 ARD kernel with MAP priors, inducing points
+    initialized by k-means over the data (uniform if too few points)."""
     from .inducing_points import KMeansInducingPointSelector
     from .sparse import SGPRParams, SparseGaussianProcessRegression
 
     base = default_gpr_params(
         dataset, search_space, kernel_kind=kernel_kind, likelihood_variance=likelihood_variance
     )
+    priors = default_priors(base.kernel, KERNEL_PRIOR_SCALE) if kernel_priors else None
     M = num_inducing_points or min(
         NUM_INDUCING_POINTS_PER_DIM * search_space.dimension, 500
     )
@@ -122,6 +136,7 @@ def build_sgpr(
         train_noise=trainable_likelihood,
         train_inducing=trainable_inducing,
         optimize_key=optimize_key,
+        priors=priors,
     )
 
 
@@ -130,13 +145,14 @@ def build_svgp(
     search_space: SearchSpace,
     *,
     kernel_kind: str = MATERN52,
+    kernel_priors: bool = True,
     likelihood_variance: Optional[float] = None,
-    trainable_likelihood: bool = True,
+    trainable_likelihood: bool = False,
     num_inducing_points: Optional[int] = None,
     inducing_point_selector: Optional[object] = None,
     optimize_key: Optional[jax.Array] = None,
 ):
-    """Build a :class:`SparseVariational` SVGP (role of reference ``builders.py:383-475``)."""
+    """Build a :class:`SparseVariational` SVGP (role of reference ``builders.py:282-381``)."""
     import jax.numpy as jnp
 
     from .inducing_points import KMeansInducingPointSelector
@@ -145,6 +161,7 @@ def build_svgp(
     base = default_gpr_params(
         dataset, search_space, kernel_kind=kernel_kind, likelihood_variance=likelihood_variance
     )
+    priors = default_priors(base.kernel, KERNEL_PRIOR_SCALE) if kernel_priors else None
     M = num_inducing_points or min(
         NUM_INDUCING_POINTS_PER_DIM * search_space.dimension, 500
     )
@@ -167,4 +184,5 @@ def build_svgp(
         inducing_point_selector=inducing_point_selector,
         train_noise=trainable_likelihood,
         optimize_key=optimize_key,
+        priors=priors,
     )

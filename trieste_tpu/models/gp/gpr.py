@@ -30,15 +30,16 @@ from ..interfaces import (
     TrajectorySampler,
 )
 from . import posterior as P
+from .priors import GPPriors
 from .training import GPRTrainingResult, fit_gpr
 
 
 @partial(jax.jit, static_argnames=("num_starts", "train_noise", "max_iters", "pool_sharding"))
-def _jit_fit(key, params, X, Y, mask, num_starts, train_noise, max_iters, pool_sharding):
+def _jit_fit(key, params, X, Y, mask, priors, num_starts, train_noise, max_iters, pool_sharding):
     return fit_gpr(
         key, params, X, Y, mask,
         num_starts=num_starts, train_noise=train_noise, max_iters=max_iters,
-        pool_sharding=pool_sharding,
+        pool_sharding=pool_sharding, priors=priors,
     )
 
 
@@ -66,6 +67,7 @@ class GaussianProcessRegression:
         max_optimize_iters: int = 100,
         num_rff_features: int = 1000,
         optimize_key: Optional[jax.Array] = None,
+        priors: Optional["GPPriors"] = None,
     ):
         self._params = params
         self._dataset = dataset
@@ -73,6 +75,7 @@ class GaussianProcessRegression:
         self._train_noise = train_noise
         self._max_optimize_iters = max_optimize_iters
         self._num_rff_features = num_rff_features
+        self._priors = priors
         self._key = optimize_key if optimize_key is not None else jax.random.PRNGKey(0)
         self._cache = _jit_cache(
             params, dataset.query_points, dataset.observations, dataset.mask
@@ -232,6 +235,7 @@ class GaussianProcessRegression:
             dataset.query_points,
             dataset.observations,
             dataset.mask,
+            self._priors,
             round_to_mesh(self._num_kernel_samples),
             self._train_noise,
             self._max_optimize_iters,

@@ -116,17 +116,54 @@ class KMeansInducingPointSelector(InducingPointSelector):
         return centroids * std + mean
 
 
-class ConditionalVarianceReduction(InducingPointSelector):
-    """Greedy max-conditional-variance (DPP MAP) selection
-    (reference ``ConditionalVarianceReduction`` + ``greedy_inference_dpp``, ``:256-455``).
+class QualityFunction:
+    """Quality score of each candidate inducing point for the quality-diversity DPP
+    decomposition (reference ``inducing_point_selectors.py:247-370``)."""
 
-    Standard incremental scheme: repeatedly pick the candidate with the largest posterior
-    kernel variance given the points selected so far, updating a partial Cholesky row per
-    selection (O(n·M²) total, vectorized over candidates).
-    """
+    def __call__(self, model, dataset) -> jax.Array:  # [N]
+        raise NotImplementedError
 
-    def _scores(self, model, qp: jax.Array) -> jax.Array:
-        return jnp.zeros(qp.shape[0], qp.dtype)  # pure variance criterion
+
+class UnitQualityFunction(QualityFunction):
+    """All points equal — pure predictive-variance allocation (reference ``:326-341``)."""
+
+    def __call__(self, model, dataset) -> jax.Array:
+        qp = dataset.trimmed_query_points
+        return jnp.ones(qp.shape[0], qp.dtype)
+
+
+class ModelBasedImprovementQualityFunction(QualityFunction):
+    """Quality = expected improvement w.r.t. a conservative baseline under the previous
+    step's model (reference ``:344-366``, :cite:`moss2023IPA`)."""
+
+    def __call__(self, model, dataset) -> jax.Array:
+        qp = dataset.trimmed_query_points
+        mean, variance = model.predict(qp)  # [N, 1]
+        baseline = jnp.max(mean)
+        std = jnp.sqrt(jnp.maximum(variance, 1e-24))
+        z = (baseline - mean) / std
+        improvement = (baseline - mean) * jax.scipy.stats.norm.cdf(z) + std * jax.scipy.stats.norm.pdf(z)
+        return improvement[:, 0]
+
+
+class DPPInducingPointSelector(InducingPointSelector):
+    """Greedy MAP estimate of a quality-diversity DPP over the data (reference
+    ``DPPInducingPointSelector`` + ``greedy_inference_dpp``,
+    ``inducing_point_selectors.py:263-455``, :cite:`chen2018fast`).
+
+    The similarity kernel is the model's kernel; ``quality_function`` supplies the
+    per-point quality scores. The greedy criterion ``d²ᵢ · qualityᵢ²`` is evaluated in
+    log space inside a ``lax.scan`` with an incremental-Cholesky residual-variance
+    update (O(n·M²) total, one compiled program; the reference runs a Python loop of
+    TF ops)."""
+
+    def __init__(
+        self,
+        quality_function: Optional[QualityFunction] = None,
+        recalc_every_model_update: bool = True,
+    ):
+        super().__init__(recalc_every_model_update)
+        self._quality_function = quality_function or UnitQualityFunction()
 
     def _recalculate_inducing_points(self, M, model, dataset):
         qp = dataset.trimmed_query_points
@@ -137,12 +174,13 @@ class ConditionalVarianceReduction(InducingPointSelector):
             )
         kernel = model.get_kernel()
         K = gram(kernel, qp)  # [n, n]
-        scores = self._scores(model, qp)
+        quality = self._quality_function(model, dataset)
+        log_q2 = 2.0 * jnp.log(jnp.maximum(quality, 1e-24))
 
         def body(carry, _):
             di, Lrows, selected, count = carry
-            # di: residual conditional variances [n]; pick the best remaining candidate
-            crit = jnp.where(selected, -jnp.inf, jnp.log(jnp.maximum(di, 1e-24)) + scores)
+            # di: residual conditional variances [n]; criterion log(d²) + 2 log quality
+            crit = jnp.where(selected, -jnp.inf, jnp.log(jnp.maximum(di, 1e-24)) + log_q2)
             j = jnp.argmax(crit)
             dj = jnp.sqrt(jnp.maximum(di[j], 1e-12))
             # new Cholesky row: l = (K[j] - Lrows^T Lrows[:, j]) / dj
@@ -166,15 +204,17 @@ class ConditionalVarianceReduction(InducingPointSelector):
         return qp[chosen]
 
 
-class ConditionalImprovementReduction(ConditionalVarianceReduction):
-    """Greedy DPP biased towards low observed values (quality-weighted DPP,
-    reference ``:400-455``)."""
+class ConditionalVarianceReduction(DPPInducingPointSelector):
+    """Greedy max-conditional-variance (unit-quality DPP) selection
+    (reference ``:369-382``, :cite:`burt2019rates`)."""
 
-    def _scores(self, model, qp: jax.Array) -> jax.Array:
-        mean, _ = model.predict(qp)
-        z = (mean[:, 0] - jnp.mean(mean)) / jnp.maximum(jnp.std(mean), 1e-9)
-        return -z  # prefer low posterior mean
+    def __init__(self, recalc_every_model_update: bool = True):
+        super().__init__(UnitQualityFunction(), recalc_every_model_update)
 
 
-DPPInducingPointSelector = ConditionalVarianceReduction
-"""Alias matching the reference naming (``inducing_point_selectors.py``)."""
+class ConditionalImprovementReduction(DPPInducingPointSelector):
+    """Greedy DPP biased towards promising (low-mean) regions
+    (reference ``:385-400``, :cite:`moss2023IPA`)."""
+
+    def __init__(self, recalc_every_model_update: bool = True):
+        super().__init__(ModelBasedImprovementQualityFunction(), recalc_every_model_update)

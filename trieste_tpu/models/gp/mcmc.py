@@ -31,14 +31,20 @@ def _log_posterior(u: jax.Array, template: P.GPRParams, X, Y, mask, prior_scale:
     return mll + prior
 
 
-@partial(jax.jit, static_argnames=("num_chains", "num_samples", "num_warmup"))
-def _run_chains(key, template, X, Y, mask, u0, num_chains, num_samples, num_warmup):
+@partial(jax.jit, static_argnames=("num_chains", "num_samples", "num_warmup", "pool_sharding"))
+def _run_chains(key, template, X, Y, mask, u0, num_chains, num_samples, num_warmup,
+                pool_sharding=None):
     from ...ops.hmc import hmc_sample
 
     k_init, k_chains = jax.random.split(key)
     jitter0 = 0.5 * jax.random.normal(k_init, (num_chains, u0.shape[0]), u0.dtype)
     inits = u0[None, :] + jitter0
     chain_keys = jax.random.split(k_chains, num_chains)
+    if pool_sharding is not None:
+        # chains run lockstep-vmapped; shard the chain axis over the mesh (SURVEY.md
+        # §5.7 scaling axis: hyperparameter chains)
+        inits = jax.lax.with_sharding_constraint(inits, pool_sharding)
+        chain_keys = jax.lax.with_sharding_constraint(chain_keys, pool_sharding)
 
     def log_prob(u):
         return _log_posterior(u, template, X, Y, mask, prior_scale=2.0)
@@ -156,6 +162,8 @@ class GaussianProcessRegressionMCMC:
 
     def optimize(self, dataset: Dataset):
         """Run HMC and retain a thinned set of hyperparameter samples."""
+        from ...parallel.mesh import current_pool_sharding, round_to_mesh
+
         self._dataset = dataset
         self._key, sub = jax.random.split(self._key)
         u0 = pack_params(self._template, train_noise=True)
@@ -166,9 +174,10 @@ class GaussianProcessRegressionMCMC:
             dataset.observations,
             dataset.mask,
             u0,
-            self._num_chains,
+            round_to_mesh(self._num_chains),
             self._num_samples_per_chain,
             self._num_warmup,
+            current_pool_sharding(),
         )
         all_samples = jnp.reshape(results.samples, (-1, u0.shape[0]))
         total = all_samples.shape[0]
@@ -244,6 +253,7 @@ def build_gpr_mcmc(
     likelihood_variance: Optional[float] = None,
     num_chains: int = 4,
     num_samples_per_chain: int = 25,
+    num_warmup: int = 100,
     num_retained: int = 20,
     optimize_key: Optional[jax.Array] = None,
 ) -> GaussianProcessRegressionMCMC:
@@ -259,6 +269,7 @@ def build_gpr_mcmc(
         dataset,
         num_chains=num_chains,
         num_samples_per_chain=num_samples_per_chain,
+        num_warmup=num_warmup,
         num_retained=num_retained,
         optimize_key=optimize_key,
     )

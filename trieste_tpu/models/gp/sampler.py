@@ -54,12 +54,21 @@ def pure_batch_reparam_sample(params, cache, key, s_token, x):
     from .posterior import predict_joint
     from ...utils.misc import jitter_for
 
+    from ...parallel.mesh import current_axis_sharding
+
     x = jnp.asarray(x)
     mean, cov = predict_joint(params, cache, x)  # [..., B, L], [..., L, B, B]
     B = x.shape[-2]
     S = s_token.shape[0]
     L_out = mean.shape[-1]
     eps = jax.random.normal(key, (L_out, B, S), dtype=cov.dtype)
+    if x.ndim == 2:
+        # single-batch evaluation (no pool-sharded candidate axis): shard the MC-sample
+        # axis S over the mesh instead; the downstream mean over samples becomes an XLA
+        # psum (SURVEY.md §5.7 scaling axis S)
+        sharding = current_axis_sharding(-1, eps.ndim)
+        if sharding is not None:
+            eps = jax.lax.with_sharding_constraint(eps, sharding)
     Lc = jnp.linalg.cholesky(cov + jitter_for(cov.dtype) * jnp.eye(B, dtype=cov.dtype))
     draws = Lc @ eps  # [..., L, B, S]
     draws = jnp.moveaxis(jnp.moveaxis(draws, -1, -3), -1, -2)  # [..., S, B, L]
@@ -73,10 +82,16 @@ def pure_marginal_reparam_sample(params, cache, key, s_token, x):
     """
     from .posterior import predict_f
 
+    from ...parallel.mesh import current_axis_sharding
+
     x = jnp.asarray(x)
     mean, var = predict_f(params, cache, x)  # [..., B, L]
     S = s_token.shape[0]
     eps = jax.random.normal(key, (S, 1, mean.shape[-1]), dtype=mean.dtype)
+    if x.ndim == 2:
+        sharding = current_axis_sharding(0, eps.ndim)
+        if sharding is not None:
+            eps = jax.lax.with_sharding_constraint(eps, sharding)
     return mean[..., None, :, :] + jnp.sqrt(var)[..., None, :, :] * eps
 
 

@@ -209,32 +209,48 @@ def fit_sgpr(
     train_inducing: bool = True,
     max_iters: int = 100,
     pool_sharding=None,
+    priors=None,
 ) -> SGPRTrainingResult:
-    """Multi-start L-BFGS on the negative collapsed ELBO. ``pool_sharding`` shards the
-    restart pool over the active mesh (see :mod:`trieste_tpu.parallel`)."""
+    """Multi-start L-BFGS on the negative collapsed ELBO (MAP when ``priors`` carries
+    the builder's LogNormal kernel priors). ``pool_sharding`` shards the restart pool
+    over the active mesh (see :mod:`trieste_tpu.parallel`)."""
+    from .priors import log_prior_density, sample_log_params, squeeze_kernel
 
     def loss_fn(u):
         p = _sgpr_unpack(u, params, train_noise, train_inducing)
-        return -sgpr_elbo(p, X, Y, mask)
+        nll = -sgpr_elbo(p, X, Y, mask)
+        if priors is not None:
+            nll = nll - log_prior_density(p.kernel, priors)
+        return nll
 
     u0 = _sgpr_pack(params, train_noise, train_inducing)
-    n_hyper = 2 + (1 if jnp.shape(params.kernel.lengthscales) == () else
-                   jnp.shape(params.kernel.lengthscales)[0]) + (1 if train_noise else 0)
-    shifts = jax.random.uniform(
-        key, (num_starts - 1, u0.shape[0]), dtype=u0.dtype, minval=-1.5, maxval=1.5
-    )
-    # only perturb the hyperparameters, not the mean constant or inducing locations
-    keep = jnp.zeros_like(u0, bool).at[: n_hyper].set(True)
     ls_count = 1 if jnp.shape(params.kernel.lengthscales) == () else jnp.shape(params.kernel.lengthscales)[0]
-    keep = keep.at[1 + ls_count].set(False)  # mean constant
-    starts = jnp.concatenate([u0[None], u0[None] + shifts * keep[None, :]], axis=0)
+    if priors is not None:
+        # restarts drawn from the priors (reference randomize_hyperparameters)
+        log_var, log_ls = sample_log_params(key, priors, num_starts - 1, ls_count)
+        rest = jnp.broadcast_to(u0[None], (num_starts - 1, u0.shape[0]))
+        rest = rest.at[:, 0].set(log_var)
+        rest = rest.at[:, 1 : 1 + ls_count].set(log_ls)
+        starts = jnp.concatenate([u0[None], rest], axis=0)
+    else:
+        n_hyper = 2 + ls_count + (1 if train_noise else 0)
+        shifts = jax.random.uniform(
+            key, (num_starts - 1, u0.shape[0]), dtype=u0.dtype, minval=-1.5, maxval=1.5
+        )
+        # only perturb the hyperparameters, not the mean constant or inducing locations
+        keep = jnp.zeros_like(u0, bool).at[: n_hyper].set(True)
+        keep = keep.at[1 + ls_count].set(False)  # mean constant
+        starts = jnp.concatenate([u0[None], u0[None] + shifts * keep[None, :]], axis=0)
     if pool_sharding is not None:
         starts = jax.lax.with_sharding_constraint(starts, pool_sharding)
     results = jax.vmap(lambda s: minimize_lbfgs(loss_fn, s, max_iters=max_iters))(starts)
     losses = jnp.where(jnp.isfinite(results.fun), results.fun, jnp.inf)
     best = jnp.argmin(losses)
+    best_params = _sgpr_unpack(results.x[best], params, train_noise, train_inducing)
+    if priors is not None:
+        best_params = best_params.replace(kernel=squeeze_kernel(best_params.kernel, priors))
     return SGPRTrainingResult(
-        params=_sgpr_unpack(results.x[best], params, train_noise, train_inducing),
+        params=best_params,
         loss=losses[best],
         all_losses=losses,
     )
@@ -254,6 +270,7 @@ class SparseGaussianProcessRegression:
         train_inducing: bool = True,
         max_optimize_iters: int = 100,
         optimize_key: Optional[jax.Array] = None,
+        priors=None,
     ):
         self._params = params
         self._dataset = dataset
@@ -262,6 +279,7 @@ class SparseGaussianProcessRegression:
         self._train_noise = train_noise
         self._train_inducing = train_inducing
         self._max_iters = max_optimize_iters
+        self._priors = priors
         self._key = optimize_key if optimize_key is not None else jax.random.PRNGKey(0)
         self._refresh()
 
@@ -358,6 +376,7 @@ class SparseGaussianProcessRegression:
             dataset.query_points,
             dataset.observations,
             dataset.mask,
+            self._priors,
             round_to_mesh(self._num_starts),
             self._train_noise,
             self._train_inducing,
@@ -412,13 +431,14 @@ _jit_sgpr_predict_joint = jax.jit(sgpr_predict_joint)
     static_argnames=("num_starts", "train_noise", "train_inducing", "max_iters", "pool_sharding"),
 )
 def _jit_sgpr_fit(
-    key, params, X, Y, mask, num_starts, train_noise, train_inducing, max_iters, pool_sharding
+    key, params, X, Y, mask, priors, num_starts, train_noise, train_inducing, max_iters,
+    pool_sharding
 ):
     return fit_sgpr(
         key, params, X, Y, mask,
         num_starts=num_starts, train_noise=train_noise,
         train_inducing=train_inducing, max_iters=max_iters,
-        pool_sharding=pool_sharding,
+        pool_sharding=pool_sharding, priors=priors,
     )
 
 
@@ -533,9 +553,12 @@ def fit_svgp(
     num_alternations: int = 3,
     num_starts: int = 5,
     pool_sharding=None,
+    priors=None,
 ) -> SVGPTrainingResult:
-    """Alternate {exact variational update, hyperparameter L-BFGS on the ELBO}.
-    ``pool_sharding`` shards the restart pool over the active mesh."""
+    """Alternate {exact variational update, hyperparameter L-BFGS on the ELBO}; MAP
+    when ``priors`` is given. ``pool_sharding`` shards the restart pool over the active
+    mesh."""
+    from .priors import log_prior_density, sample_log_params, squeeze_kernel
 
     def hyper_pack(p: SVGPParams) -> jax.Array:
         ls = jnp.atleast_1d(p.kernel.lengthscales)
@@ -575,23 +598,35 @@ def fit_svgp(
     def loss_fn(u):
         p_u = hyper_unpack(u, params)
         p_q = svgp_optimal_variational(p_u, X, Y, mask)
-        return -svgp_elbo(p_q, X, Y, mask)
+        nll = -svgp_elbo(p_q, X, Y, mask)
+        if priors is not None:
+            nll = nll - log_prior_density(p_u.kernel, priors)
+        return nll
 
     u0 = hyper_pack(params)
-    shifts = jax.random.uniform(
-        key, (num_starts - 1, u0.shape[0]), dtype=u0.dtype, minval=-1.5, maxval=1.5
-    )
-    # don't perturb the mean constant
     ls_shape = jnp.shape(params.kernel.lengthscales)
     n_ls = 1 if ls_shape == () else ls_shape[0]
-    shifts = shifts.at[:, 1 + n_ls].set(0.0)
-    starts = jnp.concatenate([u0[None], u0[None] + shifts], axis=0)
+    if priors is not None:
+        log_var, log_ls = sample_log_params(key, priors, num_starts - 1, n_ls)
+        rest = jnp.broadcast_to(u0[None], (num_starts - 1, u0.shape[0]))
+        rest = rest.at[:, 0].set(log_var)
+        rest = rest.at[:, 1 : 1 + n_ls].set(log_ls)
+        starts = jnp.concatenate([u0[None], rest], axis=0)
+    else:
+        shifts = jax.random.uniform(
+            key, (num_starts - 1, u0.shape[0]), dtype=u0.dtype, minval=-1.5, maxval=1.5
+        )
+        # don't perturb the mean constant
+        shifts = shifts.at[:, 1 + n_ls].set(0.0)
+        starts = jnp.concatenate([u0[None], u0[None] + shifts], axis=0)
     if pool_sharding is not None:
         starts = jax.lax.with_sharding_constraint(starts, pool_sharding)
     results = jax.vmap(lambda s0: minimize_lbfgs(loss_fn, s0, max_iters=max_iters))(starts)
     losses = jnp.where(jnp.isfinite(results.fun), results.fun, jnp.inf)
     best = jnp.argmin(losses)
     p = hyper_unpack(results.x[best], params)
+    if priors is not None:
+        p = p.replace(kernel=squeeze_kernel(p.kernel, priors))
     p = svgp_optimal_variational(p, X, Y, mask)
     return SVGPTrainingResult(params=p, loss=-svgp_elbo(p, X, Y, mask))
 
@@ -608,12 +643,14 @@ class SparseVariational:
         train_noise: bool = True,
         max_optimize_iters: int = 100,
         optimize_key: Optional[jax.Array] = None,
+        priors=None,
     ):
         self._params = params
         self._dataset = dataset
         self._selector = inducing_point_selector
         self._train_noise = train_noise
         self._max_iters = max_optimize_iters
+        self._priors = priors
         self._key = optimize_key if optimize_key is not None else jax.random.PRNGKey(0)
 
     @property
@@ -681,6 +718,7 @@ class SparseVariational:
             dataset.query_points,
             dataset.observations,
             dataset.mask,
+            self._priors,
             self._train_noise,
             self._max_iters,
             round_to_mesh(5),
@@ -743,9 +781,9 @@ _jit_svgp_predict_joint = jax.jit(svgp_predict_joint)
 
 
 @partial(jax.jit, static_argnames=("train_noise", "max_iters", "num_starts", "pool_sharding"))
-def _jit_svgp_fit(params, X, Y, mask, train_noise, max_iters, num_starts, pool_sharding):
+def _jit_svgp_fit(params, X, Y, mask, priors, train_noise, max_iters, num_starts, pool_sharding):
     return fit_svgp(
         jax.random.PRNGKey(0), params, X, Y, mask,
         train_noise=train_noise, max_iters=max_iters,
-        num_starts=num_starts, pool_sharding=pool_sharding,
+        num_starts=num_starts, pool_sharding=pool_sharding, priors=priors,
     )

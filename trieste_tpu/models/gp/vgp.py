@@ -178,8 +178,11 @@ def fit_vgp(
     num_natgrad_steps: int = 5,
     gamma: float = 0.5,
     max_hyper_iters: int = 25,
+    priors=None,
 ) -> VGPTrainingResult:
-    """Alternate natural-gradient variational steps with hyperparameter L-BFGS."""
+    """Alternate natural-gradient variational steps with hyperparameter L-BFGS (MAP on
+    the hyperparameters when ``priors`` is given)."""
+    from .priors import log_prior_density
 
     def hyper_pack(p: VGPParams) -> jax.Array:
         ls = jnp.atleast_1d(p.kernel.lengthscales)
@@ -206,7 +209,11 @@ def fit_vgp(
         p, _ = jax.lax.scan(ng, p, None, length=num_natgrad_steps)
 
         def loss_fn(u):
-            return -vgp_elbo(hyper_unpack(u, p), X, Y, mask)
+            p_u = hyper_unpack(u, p)
+            nll = -vgp_elbo(p_u, X, Y, mask)
+            if priors is not None:
+                nll = nll - log_prior_density(p_u.kernel, priors)
+            return nll
 
         res = minimize_lbfgs(loss_fn, hyper_pack(p), max_iters=max_hyper_iters)
         return hyper_unpack(res.x, p), None
@@ -234,10 +241,12 @@ class VariationalGaussianProcess:
         *,
         num_alternations: int = 10,
         optimize_key: Optional[jax.Array] = None,
+        priors=None,
     ):
         self._params = params
         self._dataset = dataset
         self._num_alternations = num_alternations
+        self._priors = priors
 
     @property
     def params(self) -> VGPParams:
@@ -293,6 +302,7 @@ class VariationalGaussianProcess:
             dataset.query_points,
             dataset.observations,
             dataset.mask,
+            self._priors,
             self._num_alternations,
         )
         self._params = result.params
@@ -317,9 +327,18 @@ def build_vgp_classifier(
     """Build a VGP Bernoulli classifier (role of reference ``builders.py:282-380``)."""
     from ...ops.kernels import stationary
 
+    import math
+
+    from .priors import default_priors
+
     dtype = dataset.query_points.dtype
     extent = (search_space.upper - search_space.lower).astype(dtype)
-    kernel = stationary(kernel_kind, variance=1.0, lengthscales=0.2 * extent, dtype=dtype)
+    # classification kernel variance: 100 in the noise-free case, 1 otherwise
+    # (reference CLASSIFICATION_KERNEL_VARIANCE_NOISE_FREE / ..._VARIANCE,
+    # builders.py:53-59)
+    variance = 100.0 if noise_free else 1.0
+    ls = 0.2 * extent * math.sqrt(search_space.dimension)
+    kernel = stationary(kernel_kind, variance=variance, lengthscales=ls, dtype=dtype)
     C = dataset.capacity
     params = VGPParams(
         kernel=kernel,
@@ -327,12 +346,12 @@ def build_vgp_classifier(
         q_mu=jnp.zeros((C, 1), dtype),
         q_sqrt=jnp.eye(C, dtype=dtype),
     )
-    return VariationalGaussianProcess(params, dataset)
+    return VariationalGaussianProcess(params, dataset, priors=default_priors(kernel))
 
 
 _jit_vgp_predict = jax.jit(vgp_predict_f)
 
 
 @partial(jax.jit, static_argnames=("num_alternations",))
-def _jit_vgp_fit(params, X, Y, mask, num_alternations):
-    return fit_vgp(params, X, Y, mask, num_alternations=num_alternations)
+def _jit_vgp_fit(params, X, Y, mask, priors, num_alternations):
+    return fit_vgp(params, X, Y, mask, num_alternations=num_alternations, priors=priors)

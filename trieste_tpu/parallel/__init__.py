@@ -13,7 +13,10 @@ Ask/Tell loop all pick up the active mesh transparently.
 from .mesh import (
     POOL_AXIS,
     create_mesh,
+    create_multi_host_mesh,
+    current_axis_sharding,
     current_pool_sharding,
+    initialize_multi_host,
     get_global_mesh,
     global_mesh,
     pool_sharding,
@@ -25,7 +28,10 @@ from .mesh import (
 __all__ = [
     "POOL_AXIS",
     "create_mesh",
+    "create_multi_host_mesh",
+    "current_axis_sharding",
     "current_pool_sharding",
+    "initialize_multi_host",
     "get_global_mesh",
     "global_mesh",
     "pool_sharding",

@@ -57,6 +57,17 @@ def current_pool_sharding() -> Optional[NamedSharding]:
     return NamedSharding(_ACTIVE_MESH, PartitionSpec(POOL_AXIS))
 
 
+def current_axis_sharding(axis: int, ndim: int) -> Optional[NamedSharding]:
+    """Pool sharding over arbitrary axis ``axis`` of an ``ndim``-rank array, or ``None``
+    when no mesh is active. Used to shard secondary pool axes (e.g. the MC-sample axis
+    of the reparametrization samplers, whose *last* axis is the sample count)."""
+    if _ACTIVE_MESH is None:
+        return None
+    spec = [None] * ndim
+    spec[axis] = POOL_AXIS
+    return NamedSharding(_ACTIVE_MESH, PartitionSpec(*spec))
+
+
 def round_to_mesh(n: int) -> int:
     """Round a pool size up to a multiple of the active mesh size (identity without a
     mesh) so sharded axes divide evenly across devices."""
@@ -78,6 +89,40 @@ def create_mesh(
             )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def initialize_multi_host(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    local_device_count: Optional[int] = None,
+) -> None:
+    """Join a multi-host (multi-process) JAX runtime (SURVEY.md §5.8: the DCN axis).
+
+    On TPU pods each host's chips attach automatically and collectives ride ICI within
+    a slice / DCN across slices; on CPU (CI emulation) set ``local_device_count`` to
+    emulate several devices per process. Call before any JAX computation, then build
+    the global pool mesh with :func:`create_multi_host_mesh`.
+    """
+    if local_device_count is not None:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={local_device_count}"
+        )
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def create_multi_host_mesh(axis_name: str = POOL_AXIS) -> Mesh:
+    """A 1-D pool mesh over *all* devices of the multi-process runtime (every host's
+    devices, in process order — so a pool axis shards contiguous blocks per host and
+    the ``top_k``/``argmin`` reductions are the only cross-host (DCN) collectives)."""
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
 
 
 def pool_sharding(mesh: Mesh, axis_name: str = POOL_AXIS) -> NamedSharding:
