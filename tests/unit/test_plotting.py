@@ -87,3 +87,27 @@ def test_figure_to_frames_to_gif():
     gif = convert_frames_to_gif([frame, frame])
     data = gif.read()
     assert data[:6] in (b"GIF87a", b"GIF89a")
+
+
+def test_format_point_markers_roles():
+    """Plotly-independent marker logic (reference ``plotting_plotly.py:31-66``)."""
+    from trieste_tpu.experimental.plotting.plotting_plotly import format_point_markers
+
+    cols, marks = format_point_markers(
+        6, num_init=2, idx_best=4, mask_fail=np.array([False, False, True, False, False, False])
+    )
+    assert list(marks[:2]) == ["x", "x"] and set(marks[2:]) == {"circle"}
+    assert cols[2] == "red" and cols[4] == "darkmagenta" and cols[0] == "green"
+
+
+def test_plotly_functions_gated_without_plotly():
+    """Without the optional plotly extra, the plotly entry points raise ImportError
+    cleanly (reference gates its extras the same way, ``setup.py:52-55``)."""
+    from trieste_tpu.experimental.plotting import plotting_plotly as pp
+
+    if pp.PLOTLY_AVAILABLE:  # pragma: no cover - env-dependent
+        import pytest
+
+        pytest.skip("plotly installed in this environment")
+    with np.testing.assert_raises(ImportError):
+        pp.add_surface_plotly(np.eye(2), np.eye(2), np.eye(2), fig=None)

@@ -7,7 +7,7 @@ multi-start optimization, padded device-resident datasets) with a thin object sh
 mirroring the reference's public API surface.
 """
 
-from . import acquisition, logging, models, objectives, space, utils
+from . import acquisition, logging, models, objectives, profiling, space, utils
 from .ask_tell_optimization import (
     AskTellOptimizer,
     AskTellOptimizerABC,

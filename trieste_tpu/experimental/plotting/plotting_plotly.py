@@ -67,28 +67,70 @@ def plot_model_predictions_plotly(
     return fig
 
 
-def add_bo_points_plotly(x, y, z, fig, num_init: int = 0, idx_best: Optional[int] = None):
-    """Overlay BO points on a plotly 3D figure (reference ``add_bo_points_plotly``)."""
+def format_point_markers(
+    num_pts: int,
+    num_init: int,
+    idx_best: Optional[int] = None,
+    mask_fail=None,
+    m_init: str = "x",
+    m_add: str = "circle",
+    c_pass: str = "green",
+    c_fail: str = "red",
+    c_best: str = "darkmagenta",
+):
+    """Marker styles/colors by BO role: initial crosses, acquired circles, failures
+    red, best point dark magenta (reference ``format_point_markers``,
+    ``plotting_plotly.py:31-66``). Returns ``(colors [N], markers [N])``."""
+    col_pts = np.repeat(c_pass, num_pts).astype("<U15")
+    mark_pts = np.repeat(m_init, num_pts).astype("<U15")
+    mark_pts[num_init:] = m_add
+    if mask_fail is not None:
+        col_pts[np.asarray(mask_fail)] = c_fail
+    if idx_best is not None:
+        col_pts[idx_best] = c_best
+    return col_pts, mark_pts
+
+
+def add_surface_plotly(xx, yy, f, fig, alpha: float = 1.0, figrow: int = 1, figcol: int = 1):
+    """Add a surface to an existing plotly (sub)figure (reference
+    ``add_surface_plotly``, ``plotting_plotly.py:68-97``)."""
     _require_plotly()
+    xx = np.asarray(xx)
+    yy = np.asarray(yy)
+    z = np.asarray(f).reshape([xx.shape[0], yy.shape[1]])
+    fig.add_trace(
+        go.Surface(z=z, x=xx, y=yy, showscale=False, opacity=alpha, colorscale="viridis"),
+        row=figrow,
+        col=figcol,
+    )
+    return fig
+
+
+def add_bo_points_plotly(
+    x,
+    y,
+    z,
+    fig,
+    num_init: int = 0,
+    idx_best: Optional[int] = None,
+    mask_fail=None,
+    figrow: int = 1,
+    figcol: int = 1,
+):
+    """Overlay BO points on a plotly 3D (sub)figure with role-based markers
+    (reference ``add_bo_points_plotly``, ``plotting_plotly.py:100-143``)."""
+    _require_plotly()
+    x = np.asarray(x)
+    col_pts, mark_pts = format_point_markers(x.shape[0], num_init, idx_best, mask_fail)
     fig.add_trace(
         go.Scatter3d(
-            x=np.asarray(x)[num_init:],
-            y=np.asarray(y)[num_init:],
-            z=np.asarray(z)[num_init:],
+            x=x,
+            y=np.asarray(y),
+            z=np.asarray(z),
             mode="markers",
-            marker=dict(size=4, color="red"),
-            name="acquired",
-        )
+            marker=dict(size=4, color=col_pts, symbol=mark_pts, opacity=0.8),
+        ),
+        row=figrow,
+        col=figcol,
     )
-    if num_init:
-        fig.add_trace(
-            go.Scatter3d(
-                x=np.asarray(x)[:num_init],
-                y=np.asarray(y)[:num_init],
-                z=np.asarray(z)[:num_init],
-                mode="markers",
-                marker=dict(size=4, color="black", symbol="x"),
-                name="initial",
-            )
-        )
     return fig
