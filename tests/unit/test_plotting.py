@@ -19,9 +19,10 @@ from trieste_tpu.experimental.plotting import (
     plot_acq_function_2d,
     plot_feasible_region_2d,
     plot_mobo_history,
-    plot_objective_and_constraints,
+    plot_constrained_objective_2d,
     plot_pareto_front_2d,
     plot_regret,
+    plot_surface,
 )
 from trieste_tpu.space import Box, NonlinearConstraint
 
@@ -65,7 +66,7 @@ def test_constraint_plots():
     fig, ax = plt.subplots()
     plot_feasible_region_2d(space, ax, grid_density=30)
     plt.close(fig)
-    fig, ax = plot_objective_and_constraints(
+    fig, ax = plot_constrained_objective_2d(
         space, lambda x: jnp.sum(jnp.square(x), -1), grid_density=30
     )
     plt.close(fig)
@@ -111,3 +112,54 @@ def test_plotly_functions_gated_without_plotly():
         pytest.skip("plotly installed in this environment")
     with np.testing.assert_raises(ImportError):
         pp.add_surface_plotly(np.eye(2), np.eye(2), np.eye(2), fig=None)
+
+
+def test_plot_surface_contour_modes():
+    points, XX, YY = create_grid(np.array([0.0, 0.0]), np.array([1.0, 1.0]), 12)
+    vals = (points**2).sum(-1)
+    fig, ax = plt.subplots()
+    cs = plot_surface(XX, YY, vals, ax, contour=True, fill=True)
+    assert cs is not None
+    plt.close(fig)
+
+
+def test_inequality_constraints_figures():
+    """Simulation-protocol constrained plots (reference
+    ``inequality_constraints.py:30-187``)."""
+    import jax.numpy as jnp
+
+    from trieste_tpu.experimental.plotting import (
+        plot_2obj_cst_query_points,
+        plot_init_query_points,
+        plot_objective_and_constraints,
+    )
+    from trieste_tpu.space import Box
+
+    class Sim:
+        threshold = 0.5
+
+        @staticmethod
+        def objective(x):
+            return jnp.sum(jnp.square(x), -1, keepdims=True)
+
+        @staticmethod
+        def constraint(x):
+            return jnp.sum(x, -1, keepdims=True)
+
+    space = Box([0.0, 0.0], [1.0, 1.0])
+    fig = plot_objective_and_constraints(space, Sim)
+    plt.close(fig)
+    pts = np.array([[0.1, 0.2], [0.8, 0.9], [0.3, 0.1]])
+    cvals = np.asarray(Sim.constraint(jnp.asarray(pts)))
+    fig = plot_init_query_points(space, Sim, pts, cvals)
+    plt.close(fig)
+
+    class Sim2(Sim):
+        @staticmethod
+        def objective(x):
+            return jnp.stack([jnp.sum(x**2, -1), jnp.sum((x - 1) ** 2, -1)], axis=-1)
+
+    figs = plot_2obj_cst_query_points(space, Sim2, pts, cvals)
+    assert len(figs) == 2
+    for f in figs:
+        plt.close(f)

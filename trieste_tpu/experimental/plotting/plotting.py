@@ -54,6 +54,25 @@ def create_grid(
     return points, XX, YY
 
 
+def plot_surface(
+    xx: np.ndarray,
+    yy: np.ndarray,
+    f: np.ndarray,
+    ax,
+    contour: bool = False,
+    fill: bool = False,
+    alpha: float = 1.0,
+):
+    """Add a contour or 3D surface of meshgrid data to an axis
+    (reference ``plotting.py:66-99``)."""
+    f = _to_np(f).reshape(np.shape(xx))
+    if contour:
+        if fill:
+            return ax.contourf(xx, yy, f, 80, alpha=alpha)
+        return ax.contour(xx, yy, f, 80, alpha=alpha)
+    return ax.plot_surface(xx, yy, f, alpha=alpha, linewidth=0, antialiased=False)
+
+
 def plot_function_2d(
     f: Callable[[TensorType], TensorType],
     mins: TensorType,
@@ -274,14 +293,15 @@ def plot_feasible_region_2d(
     ax.contour(XX, YY, feasible.astype(float), levels=[0.5], colors=[color])
 
 
-def plot_objective_and_constraints(
+def plot_constrained_objective_2d(
     space,
     objective: Callable[[TensorType], TensorType],
     grid_density: int = 100,
     fig_size: Tuple[float, float] = (8.0, 6.0),
 ):
-    """Objective contours with the infeasible region masked out
-    (reference ``inequality_constraints.py:46-90``)."""
+    """Objective contours with the space's own constraint-infeasible region masked
+    out (companion of :func:`.inequality_constraints.plot_objective_and_constraints`,
+    which takes a Simulation protocol instead of a constrained space)."""
     import jax.numpy as jnp
     import matplotlib.pyplot as plt
 

@@ -29,6 +29,15 @@ KERNEL_LENGTHSCALE = 0.2
 """Initial lengthscales: ``0.2 · extent · √D`` per dimension (reference
 ``_get_lengthscales``, ``builders.py:413-424``)."""
 
+MAX_NUM_INDUCING_POINTS = 500
+"""Cap on the default inducing-point count (reference ``builders.py:65``)."""
+
+CLASSIFICATION_KERNEL_VARIANCE_NOISE_FREE = 100.0
+"""Default classification kernel variance, noise-free case (reference ``builders.py:53``)."""
+
+CLASSIFICATION_KERNEL_VARIANCE = 1.0
+"""Default classification kernel variance (reference ``builders.py:59``)."""
+
 
 def default_gpr_params(
     dataset: Dataset,
@@ -117,7 +126,7 @@ def build_sgpr(
     )
     priors = default_priors(base.kernel, KERNEL_PRIOR_SCALE) if kernel_priors else None
     M = num_inducing_points or min(
-        NUM_INDUCING_POINTS_PER_DIM * search_space.dimension, 500
+        NUM_INDUCING_POINTS_PER_DIM * search_space.dimension, MAX_NUM_INDUCING_POINTS
     )
     selector = inducing_point_selector
     Z0 = KMeansInducingPointSelector(key=jax.random.PRNGKey(7))._recalculate_inducing_points(
@@ -163,7 +172,7 @@ def build_svgp(
     )
     priors = default_priors(base.kernel, KERNEL_PRIOR_SCALE) if kernel_priors else None
     M = num_inducing_points or min(
-        NUM_INDUCING_POINTS_PER_DIM * search_space.dimension, 500
+        NUM_INDUCING_POINTS_PER_DIM * search_space.dimension, MAX_NUM_INDUCING_POINTS
     )
     Z0 = KMeansInducingPointSelector(key=jax.random.PRNGKey(9))._recalculate_inducing_points(
         M, None, dataset

@@ -272,6 +272,10 @@ class GaussianProcessRegression:
         for i in range(ls.shape[0]):
             scalar(f"kernel.lengthscale[{i}]", ls[i])
         scalar("likelihood.variance", self._params.noise_variance)
+        if dataset is not None:
+            from ..utils import write_summary_data_based_metrics
+
+            write_summary_data_based_metrics(dataset, self)
 
     def __repr__(self) -> str:
         return (

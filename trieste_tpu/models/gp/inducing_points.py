@@ -218,3 +218,26 @@ class ConditionalImprovementReduction(DPPInducingPointSelector):
 
     def __init__(self, recalc_every_model_update: bool = True):
         super().__init__(ModelBasedImprovementQualityFunction(), recalc_every_model_update)
+
+
+def greedy_inference_dpp(
+    M: int, kernel, quality_scores: jax.Array, dataset: Dataset
+) -> jax.Array:
+    """Functional entry point: greedy MAP inference for the quality-diversity DPP over
+    the dataset's points (reference ``greedy_inference_dpp``,
+    ``inducing_point_selectors.py:402-455``). Returns ``[min(M, N), D]`` points."""
+    qp = dataset.trimmed_query_points
+    scores = jnp.asarray(quality_scores)
+
+    class _Fixed(QualityFunction):
+        def __call__(self, model, ds):
+            return scores
+
+    class _KernelOnly:
+        def get_kernel(self):
+            return kernel
+
+    M = min(M, qp.shape[0])
+    return DPPInducingPointSelector(_Fixed())._recalculate_inducing_points(
+        M, _KernelOnly(), dataset
+    )

@@ -333,10 +333,16 @@ def build_vgp_classifier(
 
     dtype = dataset.query_points.dtype
     extent = (search_space.upper - search_space.lower).astype(dtype)
-    # classification kernel variance: 100 in the noise-free case, 1 otherwise
-    # (reference CLASSIFICATION_KERNEL_VARIANCE_NOISE_FREE / ..._VARIANCE,
-    # builders.py:53-59)
-    variance = 100.0 if noise_free else 1.0
+    from .builders import (
+        CLASSIFICATION_KERNEL_VARIANCE,
+        CLASSIFICATION_KERNEL_VARIANCE_NOISE_FREE,
+    )
+
+    variance = (
+        CLASSIFICATION_KERNEL_VARIANCE_NOISE_FREE
+        if noise_free
+        else CLASSIFICATION_KERNEL_VARIANCE
+    )
     ls = 0.2 * extent * math.sqrt(search_space.dimension)
     kernel = stationary(kernel_kind, variance=variance, lengthscales=ls, dtype=dtype)
     C = dataset.capacity

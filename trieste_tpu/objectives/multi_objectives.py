@@ -5,7 +5,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable
+from typing import Callable, Protocol, runtime_checkable
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +13,15 @@ import jax.numpy as jnp
 from ..space import Box
 from ..types import TensorType
 from .single_objectives import ObjectiveTestProblem
+
+
+@runtime_checkable
+class GenParetoOptimalPoints(Protocol):
+    """A function generating ``n`` Pareto-optimal points with an optional PRNG key
+    (reference ``multi_objectives.py:32-47``)."""
+
+    def __call__(self, n: int, key=None):  # pragma: no cover - protocol
+        ...
 
 
 @dataclass(frozen=True)

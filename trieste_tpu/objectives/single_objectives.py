@@ -424,3 +424,40 @@ def _make_trid(d: int) -> SingleObjectiveTestProblem:
 
 
 Trid10 = _make_trid(10)
+
+
+# -- Reference-parity function aliases ----------------------------------------------
+# The reference exposes every problem both as a dataclass and as a bare vectorized
+# function (``single_objectives.py``); the generic forms take any dimension.
+
+ObjectiveTestFunction = ObjectiveFn
+"""Alias of the objective-function type (reference ``single_objectives.py:35``)."""
+
+levy = _as_objective(_levy_raw)
+rosenbrock = _as_objective(_rosenbrock_raw)
+michalewicz_2 = Michalewicz2.objective
+michalewicz_5 = Michalewicz5.objective
+michalewicz_10 = Michalewicz10.objective
+trid_10 = Trid10.objective
+
+
+def check_objective_shapes(d: int):
+    """Decorator asserting an objective maps ``[..., d] -> [..., 1]`` (role of the
+    reference's ``check_shapes`` contract, ``single_objectives.py:78-80``) — checks run
+    at trace time, so they are free inside ``jit``."""
+
+    def decorator(f: ObjectiveFn) -> ObjectiveFn:
+        def wrapped(x: TensorType) -> jax.Array:
+            x = jnp.asarray(x)
+            if x.shape[-1] != d:
+                raise ValueError(f"objective expects [..., {d}] inputs, got {x.shape}")
+            out = f(x)
+            if out.shape != x.shape[:-1] + (1,):
+                raise ValueError(
+                    f"objective returned {out.shape}, expected {x.shape[:-1] + (1,)}"
+                )
+            return out
+
+        return wrapped
+
+    return decorator

@@ -31,6 +31,22 @@ from .utils.misc import default_float
 
 EncoderFunction = Callable[[TensorType], jax.Array]
 
+
+def DEFAULT_DTYPE() -> Any:
+    """The default float dtype for space tensors — f64 under ``jax_enable_x64``, else
+    f32 (role of reference ``DEFAULT_DTYPE``, ``space.py:37``; a callable because JAX's
+    x64 mode is a runtime switch, unlike TF's fixed default)."""
+    return default_float()
+
+
+class HasOneHotEncoder:
+    """Mixin marker for spaces exposing a one-hot ``one_hot_encoder`` (reference
+    ``space.py:506-513``). Membership test: ``isinstance(space, HasOneHotEncoder)`` or
+    simply a non-None ``space.one_hot_encoder()``."""
+
+    def one_hot_encoder(self) -> Optional[EncoderFunction]:  # pragma: no cover
+        return None
+
 DEFAULT_DTYPE_EPS = 1e-7
 
 
@@ -687,3 +703,18 @@ def one_hot_encoder(space: SearchSpace) -> EncoderFunction:
 def cast_encoder(encoder: EncoderFunction, dtype: Any) -> EncoderFunction:
     """Compose an encoder with a dtype cast (reference ``space.py:541-550``)."""
     return lambda x: encoder(x).astype(dtype)
+
+
+def one_hot_encoded_space(space: SearchSpace) -> SearchSpace:
+    """The search space corresponding to the one-hot encoding of ``space``: categorical
+    (sub)spaces become discrete spaces over their encoded points, everything else passes
+    through (reference ``space.py:539-550``)."""
+    enc = getattr(space, "one_hot_encoder", lambda: None)()
+    if isinstance(space, GeneralDiscreteSearchSpace) and enc is not None:
+        return DiscreteSearchSpace(enc(space.points))
+    if isinstance(space, TaggedProductSearchSpace):
+        subspaces = [one_hot_encoded_space(space.get_subspace(t)) for t in space.subspace_tags]
+        return TaggedProductSearchSpace(spaces=subspaces, tags=list(space.subspace_tags))
+    if enc is not None:
+        raise NotImplementedError(f"unsupported one-hot-encoded space {type(space)}")
+    return space
