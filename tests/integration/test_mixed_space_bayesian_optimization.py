@@ -62,7 +62,15 @@ def _solve(rule_factory, num_steps, rtol, seed=1):
     assert rel_err < rtol, f"best {float(obs.reshape(()))} rel err {rel_err}"
 
 
-def _tr_product_rule(space):
+def _tr_product_rule(space, num_regions=10, optimizer=None):
+    """Reference configuration (``test_mixed_space_bayesian_optimization.py:110-134``):
+    a LARGE fleet of regions (10) with a vectorized PCTS base rule — the fixed-point
+    discrete component of each region is randomly chosen and never updated, so the
+    fleet must be big enough that some region lands on a minimizer's grid column."""
+    from trieste_tpu.acquisition.function.continuous_thompson_sampling import (
+        ParallelContinuousThompsonSampling,
+    )
+
     def mk_region():
         return UpdatableTrustRegionProduct(
             [
@@ -73,8 +81,12 @@ def _tr_product_rule(space):
         )
 
     return BatchTrustRegionProduct(
-        init_subspaces=[mk_region() for _ in range(2)],
-        rule=[EfficientGlobalOptimization(optimizer=FAST_OPT) for _ in range(2)],
+        init_subspaces=[mk_region() for _ in range(num_regions)],
+        rule=EfficientGlobalOptimization(
+            ParallelContinuousThompsonSampling(),
+            num_query_points=num_regions,
+            optimizer=optimizer,
+        ),
     )
 
 
@@ -89,7 +101,11 @@ def test_ego_solves_mixed_scaled_branin_fast():
 def test_trust_region_product_runs_on_mixed_space_fast():
     """BatchTrustRegionProduct over {discrete fixed-point x continuous box} regions
     makes progress on the mixed problem (reference ``:83-160``)."""
-    _solve(_tr_product_rule, num_steps=10, rtol=0.35)
+    _solve(
+        lambda space: _tr_product_rule(space, num_regions=5, optimizer=FAST_OPT),
+        num_steps=5,
+        rtol=0.35,
+    )
 
 
 @pytest.mark.slow
@@ -99,7 +115,8 @@ def test_trust_region_product_runs_on_mixed_space_fast():
         pytest.param(
             lambda space: EfficientGlobalOptimization(), 20, 0.005, id="EGO"
         ),
-        pytest.param(_tr_product_rule, 25, 0.05, id="BatchTrustRegionProduct"),
+        # reference envelope: 8 steps x 10 regions, rtol 0.005 (``:88-134,211``)
+        pytest.param(_tr_product_rule, 8, 0.005, id="BatchTrustRegionProduct"),
     ],
 )
 def test_mixed_space_rules_solve_scaled_branin(rule_factory, num_steps, rtol):
