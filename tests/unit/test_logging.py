@@ -163,3 +163,40 @@ def test_loop_writes_pairplot_summaries(tmp_path):
     assert result.is_ok
     names = [p.name for p in tmp_path.iterdir()]
     assert any("_pairplot" in n and n.endswith(".png") for n in names), names
+
+
+def test_write_summary_data_based_metrics(tmp_path):
+    """Accuracy/calibration diagnostics reach the writer (reference
+    ``models/utils.py:33-74``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.util.misc import mk_dataset
+    from tests.util.models import QuadraticMeanAndRBFKernel
+    from trieste_tpu.models.utils import (
+        write_summary_data_based_metrics,
+        write_summary_kernel_parameters,
+        write_summary_likelihood_parameters,
+    )
+
+    ds = mk_dataset([[0.1, 0.2], [0.5, 0.5], [0.9, 0.1]], [[0.05], [0.5], [0.82]])
+    model = QuadraticMeanAndRBFKernel(noise_variance=1.0)
+    w = JsonlSummaryWriter(str(tmp_path))
+    with tensorboard_writer(w):
+        write_summary_data_based_metrics(ds, model, prefix="m.")
+        from trieste_tpu.ops.kernels import stationary
+
+        write_summary_kernel_parameters(stationary("rbf", 2.0, [0.3, 0.4]))
+        write_summary_likelihood_parameters(jnp.asarray(0.01))
+    w.close()
+    events = [json.loads(l) for l in open(tmp_path / "events.jsonl")]
+    tags = {e["tag"] for e in events}
+    for expected in (
+        "m.accuracy/root_mean_square_error",
+        "m.accuracy/z_residuals_std",
+        "m.accuracy/root_mean_variance_error",
+        "kernel.variance",
+        "kernel.lengthscales[1]",
+        "likelihood.variance",
+    ):
+        assert expected in tags, (expected, sorted(tags))
