@@ -85,23 +85,35 @@ def main() -> None:
     ei = jax.jit(Partial(_ei_fn, Partial(predict_f, params, cache), eta))
 
     candidates = jax.random.uniform(k2, (n_eval, 1, D), dtype=dtype)
-    # Steady-state timing, fetch-forced: calls are dispatched asynchronously and
-    # pipeline on the device; completion is forced by a host fetch of a scalar
-    # reduction of the LAST output (``block_until_ready`` is unreliable over the
-    # axon tunnel for shallow queues), and the measured one-off fetch round-trip is
-    # subtracted so only device compute is counted.
+    # Steady-state timing, fetch-forced AND dispatch-amortized: each dispatch runs a
+    # lax.scan CHAIN of chain_len dependent evaluations (a single small evaluation is
+    # dominated by the tunnel's per-dispatch cost, whose rate fluctuates several-fold
+    # over time); completion is forced by a host fetch of a scalar reduction of the
+    # LAST output (``block_until_ready`` is unreliable over the axon tunnel for
+    # shallow queues), and the measured one-off fetch round-trip is subtracted.
+    chain_len = 10
+
+    def _chained(x):
+        def body(c, _):
+            out = ei(x * (1.0 + 1e-12 * c))  # carry-dependence defeats hoisting
+            return jnp.max(out) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), None, length=chain_len)
+        return c
+
+    ei_chain = jax.jit(_chained)
     total = jax.jit(lambda a: jnp.sum(a))
-    out = ei(candidates)
+    out = ei_chain(candidates)
     float(total(out))  # compile reducer + drain the queue
     t0 = time.perf_counter()
     float(total(out))  # already computed: this times the pure fetch round trip
     fetch_rt = time.perf_counter() - t0
-    reps = 150
+    reps = 30
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = ei(candidates)
+        out = ei_chain(candidates)
     float(total(out))
-    dt = (time.perf_counter() - t0 - fetch_rt) / reps
+    dt = (time.perf_counter() - t0 - fetch_rt) / (reps * chain_len)
     evals_per_s = n_eval / dt
 
     # NumPy float64 baseline of the identical math on host CPU
@@ -120,7 +132,7 @@ def main() -> None:
     base_evals_per_s = n_eval / base_dt
 
     # correctness guard: TPU f32 result must match the f64 reference math
-    ours = np.asarray(out[:, 0], np.float64)
+    ours = np.asarray(ei(candidates)[:, 0], np.float64)
     err = np.max(np.abs(ours - base_ei)) / max(base_ei.max(), 1e-12)
     assert err < 5e-2, f"EI mismatch vs reference math: {err}"
 
@@ -128,8 +140,9 @@ def main() -> None:
     # pinned baseline methodology (comparable field-for-field across rounds):
     extra["baseline_method"] = (
         "NumPy/scipy float64 BLAS on host CPU, identical Matern-5/2 EI math, "
-        "3 sequential reps, no pipelining; TPU side: 150 asynchronously dispatched "
-        "reps (steady-state pipelined), n_eval=131072 per call, completion forced by "
+        "3 sequential reps, no pipelining; TPU side: 30 async dispatches of a 10-deep "
+        "lax.scan evaluation chain (dispatch-amortized), n_eval=131072 per link, "
+        "completion forced by "
         "a host scalar fetch with the one-off fetch round-trip subtracted "
         "(block_until_ready is unreliable over the tunnel)"
     )
