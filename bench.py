@@ -146,12 +146,7 @@ def main() -> None:
         "a host scalar fetch with the one-off fetch round-trip subtracted "
         "(block_until_ready is unreliable over the tunnel)"
     )
-    fused_ms, fused_tflops = _production_shape_ms(key, D, dtype)
-    extra["fused_c1024_ms_per_call"] = fused_ms
-    extra["fused_c1024_achieved_tflops"] = fused_tflops
-    # chip nominal peak for MFU accounting: TPU v5e ~394 TFLOP/s bf16 (the fused
-    # kernel runs the MXU contractions in f32-accumulated bf16-grade precision)
-    extra["fused_c1024_mfu_pct_of_bf16_peak"] = round(100.0 * fused_tflops / 394.0, 2)
+    extra.update(_production_shape_ms(key, D, dtype))
     extra["wallclock_per_bo_step_s"] = _bo_step_wallclock()
     extra["regret_curve"] = _regret_curve()
 
@@ -169,10 +164,26 @@ def main() -> None:
 
 
 def _production_shape_ms(key, D, dtype):
-    """Fused-predict (ms/call, achieved TFLOP/s) at the production shape (C=1024
-    training, pool 131072). FLOP model: the dominant contractions per call are the
-    cross-covariance distance matmul (2·N·C·D), the mean matvec (2·N·C) and the
-    variance matmul v = K·L^{-T} (2·N·C²)."""
+    """Fused-predict at the production shape (C=1024 training, pool 131072): ms/call,
+    achieved TFLOP/s, and a roofline giving the *attainable* peak for this kernel.
+
+    FLOP model (useful FLOPs, the number a user's math needs): cross-covariance
+    distance matmul (2·N·C·D), mean matvec (2·N·C·P) and variance matmul v = K·L⁻ᵀ
+    (2·N·C²) → ``2·N·C·(C + D + P)`` with P=1 output.
+
+    Roofline (why achieved < chip peak is physics, not headroom):
+    - **MXU bound**: the kernel's precision scheme multiplies the executed MXU work —
+      the mean/variance contractions run as a 3-pass bf16-split (module docstring of
+      ``ops/fused_predict.py``) and the r² matmul as 6-pass f32 emulation, so the MXU
+      executes ``2·N·Cp·(3·Cp + 3·P + 6·D)`` MACs-worth of bf16 work. Dividing by the
+      chip bf16 peak (TPU v5e: **197 TFLOP/s** — 394 is the int8 figure) gives the
+      MXU-bound time.
+    - **HBM bound**: per call only the candidate tile streams in and (mean, var) out
+      (all training-side operands are VMEM-resident across the grid): ``4·N·(D+2)``
+      bytes at ~819 GB/s (v5e).
+    The attainable time is the max of the two; at this shape the kernel is ~1000×
+    MXU-bound, so ``attainable_tflops = useful_flops / mxu_bound_time`` ≈ peak/3 ·
+    (C+D+P)/(3C+3P+6D) — the 3-pass split is the ceiling, not scheduling."""
     import jax
     import jax.numpy as jnp
     from jax.tree_util import Partial
@@ -208,8 +219,37 @@ def _production_shape_ms(key, D, dtype):
         out = predict(x)
     float(total(out))
     ms = (time.perf_counter() - t0 - fetch_rt) / reps * 1e3
-    flops = 2.0 * n_eval * n_train * (n_train + D + 1)
-    return round(ms, 3), round(flops / (ms / 1e3) / 1e12, 2)
+
+    P = 1
+    Cp = -(-n_train // 128) * 128  # lane-aligned capacity actually launched
+    useful_flops = 2.0 * n_eval * n_train * (n_train + D + P)
+    mxu_flops = 2.0 * n_eval * Cp * (3 * Cp + 3 * P + 6 * D)
+    bf16_peak_tflops = 197.0  # TPU v5e bf16 peak (394 TOPS is the int8 figure)
+    hbm_gb_per_s = 819.0  # TPU v5e HBM bandwidth
+    hbm_bytes = 4.0 * n_eval * (D + P + 1)  # candidates in, (mean, var) out
+    mxu_bound_ms = mxu_flops / (bf16_peak_tflops * 1e12) * 1e3
+    hbm_bound_ms = hbm_bytes / (hbm_gb_per_s * 1e9) * 1e3
+    attainable_ms = max(mxu_bound_ms, hbm_bound_ms)
+    achieved_tflops = useful_flops / (ms / 1e3) / 1e12
+    return {
+        "fused_c1024_ms_per_call": round(ms, 3),
+        "fused_c1024_achieved_tflops": round(achieved_tflops, 2),
+        "fused_c1024_mfu_pct_of_bf16_peak": round(
+            100.0 * achieved_tflops / bf16_peak_tflops, 2
+        ),
+        "fused_c1024_roofline": {
+            "useful_flops_per_call": useful_flops,
+            "mxu_executed_flops_per_call": mxu_flops,
+            "hbm_bytes_per_call": hbm_bytes,
+            "mxu_bound_ms": round(mxu_bound_ms, 3),
+            "hbm_bound_ms": round(hbm_bound_ms, 5),
+            "bound_by": "mxu" if mxu_bound_ms >= hbm_bound_ms else "hbm",
+            "attainable_tflops": round(useful_flops / (attainable_ms / 1e3) / 1e12, 2),
+            "pct_of_attainable": round(100.0 * attainable_ms / ms, 1),
+            "bf16_peak_tflops": bf16_peak_tflops,
+            "hbm_gb_per_s": hbm_gb_per_s,
+        },
+    }
 
 
 def _bo_step_wallclock() -> float:

@@ -212,6 +212,40 @@ def test_all_nan_acquisition_raises_failed_optimization(key):
         opt(space, nan_acq, key=key)
 
 
+def _mostly_nan_acq(x):
+    """Finite (= x, increasing) only on the rightmost 1% of [0, 1]; NaN elsewhere."""
+    x = jnp.asarray(x)[..., 0, :]
+    val = jnp.sum(x, axis=-1, keepdims=True)
+    return jnp.where(x[..., :1] > 0.99, val, jnp.nan)
+
+
+def test_recovery_runs_rescue_mostly_nan_acquisition():
+    """Reference recovery semantics (``optimizer.py:461-530``): when every seed of the
+    first attempt lands in the NaN region, fresh-seed recovery runs retry until one
+    lands in the finite sliver (seed-pinned to the suite's x64-CPU config: PRNGKey(3)
+    misses on the first attempt and recoveries 1-2, hits recovery 3 with 32 samples)."""
+    space = Box([0.0], [1.0])
+    opt = generate_continuous_optimizer(
+        num_initial_samples=32, num_optimization_runs=4, num_recovery_runs=10
+    )
+    got = opt(space, _mostly_nan_acq, key=jax.random.PRNGKey(3))
+    assert bool(jnp.all(jnp.isfinite(got)))
+    assert float(got[0, 0]) > 0.99
+
+
+def test_recovery_runs_exhausted_raises():
+    """The same mostly-NaN acquisition with too few recovery runs fails loudly, naming
+    the number of recoveries attempted."""
+    from trieste_tpu.acquisition.optimizer import FailedOptimizationError
+
+    space = Box([0.0], [1.0])
+    opt = generate_continuous_optimizer(
+        num_initial_samples=32, num_optimization_runs=4, num_recovery_runs=2
+    )
+    with pytest.raises(FailedOptimizationError, match="2 recovery"):
+        opt(space, _mostly_nan_acq, key=jax.random.PRNGKey(3))
+
+
 def test_partially_nan_acquisition_recovers_via_seed_union(key):
     """The seed-union winner selection is the recovery-run replacement: NaN regions are
     masked to -inf and the finite region's optimum is still returned."""

@@ -127,6 +127,70 @@ def test_turbo_doubles_and_halves(space):
     assert region.L == pytest.approx(L0)
 
 
+def test_discrete_region_first_update_succeeds():
+    """The first post-init update (``_y_min`` starts inf) must be a success: the
+    region recentres on the best in-region point and expands, instead of the
+    inf-minus-inf NaN comparison silently failing forever."""
+    from trieste_tpu.acquisition.trust_region import SingleObjectiveTrustRegionDiscrete
+    from trieste_tpu.space import DiscreteSearchSpace
+
+    points = jnp.stack(
+        jnp.meshgrid(jnp.linspace(0, 1, 11), jnp.linspace(0, 1, 11)), axis=-1
+    ).reshape(-1, 2)
+    space = DiscreteSearchSpace(points)
+    region = SingleObjectiveTrustRegionDiscrete(space, key=jax.random.PRNGKey(0))
+    region.initialize()
+    assert not np.isfinite(region._y_min)
+    eps0 = region.eps
+    # any finite observation inside the region is an improvement over inf
+    inside = np.asarray(region.points)[0]
+    ds = {OBJECTIVE: mk_dataset([inside.tolist()], [[3.5]])}
+    region.update(datasets=ds)
+    assert region._y_min == pytest.approx(3.5)
+    assert region.eps == pytest.approx(eps0 / 0.7)
+    np.testing.assert_allclose(np.asarray(region.location), inside)
+    # and subsequent non-improving data is a failure that shrinks eps
+    eps1 = region.eps
+    region.update(datasets={OBJECTIVE: mk_dataset([inside.tolist()], [[10.0]])})
+    assert region._y_min == pytest.approx(3.5)
+    assert region.eps == pytest.approx(eps1 * 0.7)
+
+
+def test_discrete_region_converges_on_quadratic():
+    """End-to-end runtime check of the advisor's scenario: a discrete single-objective
+    region must recentre toward the minimizer instead of looping re-initialization."""
+    from trieste_tpu.acquisition.trust_region import SingleObjectiveTrustRegionDiscrete
+    from trieste_tpu.space import DiscreteSearchSpace
+
+    grid = jnp.stack(
+        jnp.meshgrid(jnp.linspace(0, 1, 21), jnp.linspace(0, 1, 21)), axis=-1
+    ).reshape(-1, 2)
+    space = DiscreteSearchSpace(grid)
+    region = SingleObjectiveTrustRegionDiscrete(space, key=jax.random.PRNGKey(3))
+    region.initialize()
+    key = jax.random.PRNGKey(7)
+    for _ in range(8):
+        key, sub = jax.random.split(key)
+        n = region.points.shape[0]
+        idx = jax.random.randint(sub, (min(4, n),), 0, n)
+        qp = region.points[idx]
+        obs = jnp.sum((qp - 0.5) ** 2, axis=-1, keepdims=True)
+        region.update(datasets={OBJECTIVE: tt.Dataset.from_arrays(qp, obs)})
+    assert np.isfinite(region._y_min)  # success branch was reachable
+    np.testing.assert_allclose(np.asarray(region.location), [0.5, 0.5], atol=0.3)
+
+
+def test_turbo_first_update_with_empty_init_is_inf_safe(space):
+    """TuRBO initialized without data has ``_y_min = inf``; the first data-bearing
+    update must count as a success, not a NaN-comparison failure."""
+    region = TURBOBox(space, success_tolerance=1, failure_tolerance=2)
+    region.initialize()  # no datasets: _y_min stays inf
+    assert not np.isfinite(region._y_min)
+    L0 = region.L
+    region.update(datasets={OBJECTIVE: mk_dataset([[0.5, 0.5]], [[1.0]])})
+    assert region.L == pytest.approx(2 * L0)  # success_tolerance=1 -> doubled
+
+
 def test_batch_trust_region_with_local_models(space):
     """Per-region local models + per-region rules (reference ``rule.py:1417-1435``)."""
     observer = mk_observer(quadratic)

@@ -21,10 +21,12 @@ from ..interface import AcquisitionFunction, SingleModelAcquisitionBuilder
 from ..utils import joint_predictor, predictor
 
 
-def _predictive_variance_fn(predict_joint: Callable, x: TensorType) -> jax.Array:
-    """Determinant of the predictive covariance over the batch
-    (reference ``predictive_variance``, ``active_learning.py:80-112``)."""
-    _, cov = predict_joint(jnp.asarray(x))  # [..., L, B, B]
+def _predictive_variance_fn(predict_joint: Callable, jitter: float, x: TensorType) -> jax.Array:
+    """Determinant of the predictive covariance over the batch, diagonal-jittered
+    for stability (reference ``predictive_variance``, ``active_learning.py:80-112``)."""
+    x = jnp.asarray(x)
+    _, cov = predict_joint(x)  # [..., L, B, B]
+    cov = cov + jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype)
     sign, logdet = jnp.linalg.slogdet(cov)
     det = sign * jnp.exp(logdet)
     return jnp.sum(det, axis=-1, keepdims=True)  # sum over output dims -> [..., 1]
@@ -39,7 +41,7 @@ class PredictiveVariance(SingleModelAcquisitionBuilder):
     def prepare_acquisition_function(
         self, model: ProbabilisticModel, dataset: Optional[Dataset] = None
     ) -> AcquisitionFunction:
-        return Partial(_predictive_variance_fn, joint_predictor(model))
+        return Partial(_predictive_variance_fn, joint_predictor(model), self._jitter)
 
     def __repr__(self) -> str:
         return f"PredictiveVariance(jitter={self._jitter!r})"
@@ -196,12 +198,12 @@ def _binary_entropy(p: jax.Array) -> jax.Array:
     return -p * jnp.log(p) - (1.0 - p) * jnp.log(1.0 - p)
 
 
-def _bald_fn(predict: Callable, x: TensorType) -> jax.Array:
-    """BALD for a probit-Bernoulli classifier over the latent GP
-    (reference ``bayesian_active_learning_by_disagreement``,
-    ``active_learning.py:461-513``)."""
+def _bald_fn(predict: Callable, jitter: float, x: TensorType) -> jax.Array:
+    """BALD for a probit-Bernoulli classifier over the latent GP; ``jitter`` floors
+    the variance and guards the entropy logs (reference
+    ``bayesian_active_learning_by_disagreement``, ``active_learning.py:461-513``)."""
     mean, var = predict(jnp.asarray(x)[..., 0, :])
-    mean, var = mean[..., 0], var[..., 0]
+    mean, var = mean[..., 0], jnp.maximum(var[..., 0], jitter)
     p = norm.cdf(mean / jnp.sqrt(1.0 + var))
     marginal_entropy = _binary_entropy(p)
     conditional_entropy = (
@@ -222,7 +224,7 @@ class BayesianActiveLearningByDisagreement(SingleModelAcquisitionBuilder):
     def prepare_acquisition_function(
         self, model: ProbabilisticModel, dataset: Optional[Dataset] = None
     ) -> AcquisitionFunction:
-        return Partial(_bald_fn, predictor(model))
+        return Partial(_bald_fn, predictor(model), self._jitter)
 
     def __repr__(self) -> str:
         return f"BayesianActiveLearningByDisagreement({self._jitter!r})"

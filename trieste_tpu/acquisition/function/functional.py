@@ -115,11 +115,11 @@ def batch_expected_improvement(
 
 
 def predictive_variance(model, jitter: float = 0.0) -> AcquisitionFunction:
-    """Determinant of the joint predictive covariance (reference
-    ``active_learning.py:84-112``)."""
+    """Determinant of the joint predictive covariance, with ``jitter`` added to the
+    covariance diagonal for stability (reference ``active_learning.py:84-112``)."""
     from ..utils import joint_predictor
 
-    return Partial(_predictive_variance_fn, joint_predictor(model))
+    return Partial(_predictive_variance_fn, joint_predictor(model), jitter)
 
 
 def bichon_ranjan_criterion(
@@ -142,9 +142,10 @@ def integrated_variance_reduction(
     return builder.prepare_acquisition_function(model)
 
 
-def bayesian_active_learning_by_disagreement(model, jitter: float = 0.0) -> AcquisitionFunction:
-    """BALD for Bernoulli-observation models (reference ``active_learning.py:418-513``)."""
-    return Partial(_bald_fn, predictor(model))
+def bayesian_active_learning_by_disagreement(model, jitter: float = 1e-6) -> AcquisitionFunction:
+    """BALD for Bernoulli-observation models; ``jitter`` floors the latent variance
+    (reference ``active_learning.py:418-513``)."""
+    return Partial(_bald_fn, predictor(model), jitter)
 
 
 # -- entropy family (reference entropy.py) ------------------------------------------

@@ -15,8 +15,10 @@ multi-start projected L-BFGS, and winner selection — is one jitted device prog
 * mixed discrete/continuous spaces use continuous relaxation with per-run frozen discrete
   coordinates via collapsed box bounds (reference ``optimizer.py:748-894``),
 * robustness: the returned point is the per-slice argmax over {optimized runs ∪ seed
-  candidates}, so the optimizer can never return something worse than random search
-  (the role of the reference's recovery runs, ``optimizer.py:461-530``).
+  candidates}, so the optimizer can never return something worse than random search;
+  if a slice still has no finite value (acquisition NaN over the whole sampled
+  region), fresh-seed recovery runs retry up to ``num_recovery_runs`` times before
+  raising (reference ``optimizer.py:461-530``).
 """
 from __future__ import annotations
 
@@ -257,6 +259,8 @@ def generate_continuous_optimizer(
 
     ``num_initial_samples`` defaults to ``max(5000, 1000·D)`` and
     ``num_optimization_runs`` to ``10·D``, resolved per space at call time.
+    ``num_recovery_runs`` bounds the fresh-seed retries attempted when the acquisition
+    is non-finite over every sampled seed and run (reference ``optimizer.py:461-530``).
     """
     optimizer_args = optimizer_args or {}
     max_iters = optimizer_args.get("max_iters", 60)
@@ -281,23 +285,28 @@ def generate_continuous_optimizer(
                     f"The vectorization of the target function {V} must be a multiple of "
                     f"the number of subspaces {space.num_subspaces}"
                 )
-            seeds = space.sample(key, N)  # [N, V0, D]
-            if seeds.shape[1] != V:
-                reps = V // seeds.shape[1]
-                seeds = jnp.tile(seeds, (1, reps, 1))
             lower = jnp.tile(space.lower, (V // space.num_subspaces, 1))
             upper = jnp.tile(space.upper, (V // space.num_subspaces, 1))
             discrete_mask = jnp.zeros(D, bool)
+
+            def make_seeds(k: jax.Array) -> jax.Array:
+                seeds = space.sample(k, N)  # [N, V0, D]
+                if seeds.shape[1] != V:
+                    seeds = jnp.tile(seeds, (1, V // seeds.shape[1], 1))
+                return seeds
+
         else:
-            flat = (
-                space.sample_feasible(key, N)
-                if getattr(space, "has_constraints", False)
-                else space.sample(key, N)
-            )
-            seeds = jnp.tile(flat[:, None, :], (1, V, 1))  # [N, V, D]
             lower_d, upper_d, discrete_mask = _space_bounds_and_discrete_mask(space)
             lower = jnp.broadcast_to(lower_d, (V, D))
             upper = jnp.broadcast_to(upper_d, (V, D))
+
+            def make_seeds(k: jax.Array) -> jax.Array:
+                flat = (
+                    space.sample_feasible(k, N)
+                    if getattr(space, "has_constraints", False)
+                    else space.sample(k, N)
+                )
+                return jnp.tile(flat[:, None, :], (1, V, 1))  # [N, V, D]
 
         from jax.tree_util import Partial
 
@@ -306,16 +315,37 @@ def generate_continuous_optimizer(
             if getattr(space, "has_constraints", False)
             else None
         )
+        # the first attempt consumes ``key`` exactly as before recovery runs existed,
+        # preserving seeded trajectories; recoveries draw fresh subkeys from it
         points, values, improvement = _optimize_continuous_core(
-            fn, seeds, lower, upper, discrete_mask, R, max_iters,
+            fn, make_seeds(key), lower, upper, discrete_mask, R, max_iters,
             pool_sharding=pool_sharding, residual_fn=residual_fn,
         )
         scalar("spo_af_evaluations", N + R * max_iters)
         scalar("spo_improvement_on_initial_samples", lambda: float(jnp.sum(improvement)))
-        if not bool(jnp.all(jnp.isfinite(values))):
-            raise FailedOptimizationError(
-                "acquisition function returned no finite values over seeds and runs"
+
+        # recovery runs (reference ``optimizer.py:461-530``): when some slice found no
+        # finite value over its seeds and runs (e.g. the model NaNs over most of the
+        # domain after an observer failure), retry with fresh random seeds up to
+        # ``num_recovery_runs`` times, keeping any slices that already succeeded.
+        recoveries = 0
+        while not bool(jnp.all(jnp.isfinite(values))):
+            if recoveries >= num_recovery_runs:
+                raise FailedOptimizationError(
+                    "acquisition function returned no finite values over seeds and "
+                    f"runs after {recoveries} recovery run(s)"
+                )
+            recoveries += 1
+            key, sub = jax.random.split(key)
+            new_points, new_values, _ = _optimize_continuous_core(
+                fn, make_seeds(sub), lower, upper, discrete_mask, R, max_iters,
+                pool_sharding=pool_sharding, residual_fn=residual_fn,
             )
+            replace = ~jnp.isfinite(values) & jnp.isfinite(new_values)
+            points = jnp.where(replace[:, None], new_points, points)
+            values = jnp.where(replace, new_values, values)
+        if recoveries:
+            scalar("spo_recovery_runs", recoveries)
         return points
 
     return optimize_continuous

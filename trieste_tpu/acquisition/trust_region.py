@@ -265,6 +265,15 @@ class BatchTrustRegion(
         return state_func
 
 
+def _is_improvement(y_new: float, y_min: float, kappa_margin: float) -> bool:
+    """Inf-safe success test: ``y_new < y_min - kappa_margin`` when ``y_min`` is
+    finite; any finite ``y_new`` improves on an empty (``y_min = inf``) region.
+    Guards against ``inf - kappa*abs(inf) = nan``, which compares False forever."""
+    if not np.isfinite(y_min):
+        return bool(np.isfinite(y_new))
+    return bool(y_new < y_min - kappa_margin)
+
+
 @jax.jit
 def _mask_to_region(global_ds: Dataset, inside: jax.Array) -> Dataset:
     """Restrict a padded dataset to the rows where ``inside`` holds, at unchanged
@@ -581,7 +590,7 @@ class TURBOBox(UpdatableTrustRegionBox):
             return
         _, obs = ds.astuple()
         y_new = float(jnp.min(obs[:, 0]))
-        if y_new < self._y_min - 1e-10 * abs(self._y_min):
+        if _is_improvement(y_new, self._y_min, 1e-10 * abs(self._y_min)):
             self.success_counter += 1
             self.failure_counter = 0
         else:
@@ -732,7 +741,9 @@ class SingleObjectiveTrustRegionDiscrete(UpdatableTrustRegionDiscrete):
 
     def update(self, models=None, datasets=None) -> None:
         best_point, y_new = self._region_min(datasets)
-        if best_point is not None and y_new < self._y_min - self._kappa * abs(self._y_min):
+        if best_point is not None and _is_improvement(
+            y_new, self._y_min, self._kappa * abs(self._y_min)
+        ):
             self.location = best_point
             self.eps /= self._beta
             self._y_min = y_new
