@@ -75,6 +75,112 @@ def test_vgp_fit_improves_elbo(vgp_fit):
     assert float(vgp_elbo(model.params, *args)) > float(vgp_elbo(init, *args))
 
 
+def _vgp_with_likelihood(likelihood, X, Y):
+    from trieste_tpu.models.gp.vgp import VariationalGaussianProcess, VGPParams
+    from trieste_tpu.ops.kernels import stationary
+
+    ds = Dataset.from_arrays(X, Y)
+    C = ds.capacity
+    dtype = X.dtype
+    params = VGPParams(
+        kernel=stationary("matern52", variance=1.0, lengthscales=[0.8], dtype=dtype),
+        mean_constant=jnp.asarray(0.0, dtype),
+        q_mu=jnp.zeros((C, 1), dtype),
+        q_sqrt=jnp.eye(C, dtype=dtype),
+        likelihood=likelihood,
+    )
+    return VariationalGaussianProcess(params, ds), ds
+
+
+def test_vgp_poisson_likelihood_recovers_rate():
+    """VGP with a Poisson likelihood (reference wraps any GPflow likelihood,
+    ``models/gpflow/models.py:1109-1383``): on counts drawn from rate exp(sin x),
+    the fitted predict_y rate must correlate with the generative rate and the
+    closed-form variational expectation must match quadrature."""
+    from trieste_tpu.models.gp.likelihoods import (
+        PoissonLikelihood,
+        gauss_hermite_expectation,
+    )
+
+    key = jax.random.PRNGKey(2)
+    kx, ky = jax.random.split(key)
+    X = jnp.sort(jax.random.uniform(kx, (40, 1), minval=-2.0, maxval=2.0), axis=0)
+    true_rate = jnp.exp(jnp.sin(2.0 * X[:, 0]))
+    Y = jax.random.poisson(ky, true_rate).astype(X.dtype)[:, None]
+
+    lik = PoissonLikelihood()
+    # closed-form variational expectations == Gauss-Hermite quadrature of log_prob
+    mean = jnp.linspace(-1.0, 1.0, 5)[:, None]
+    var = jnp.full_like(mean, 0.3)
+    yy = jnp.arange(5.0)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(lik.variational_expectations(mean, var, yy)),
+        np.asarray(gauss_hermite_expectation(lik.log_prob, mean, var, yy)),
+        rtol=1e-6,
+    )
+
+    model, ds = _vgp_with_likelihood(lik, X, Y)
+    model.optimize(ds)
+    rate, rate_var = model.predict_y(X)
+    corr = np.corrcoef(np.asarray(rate[:, 0]), np.asarray(true_rate))[0, 1]
+    assert corr > 0.6, f"fitted rate uncorrelated with truth: {corr}"
+    assert bool(jnp.all(rate > 0)) and bool(jnp.all(rate_var >= rate - 1e-9))
+
+
+def test_vgp_gaussian_likelihood_matches_exact_gpr():
+    """With a Gaussian likelihood the VGP posterior must agree with exact GPR at the
+    optimum of the ELBO (conjugate case: the bound is tight)."""
+    from trieste_tpu.models.gp.likelihoods import GaussianLikelihood
+    from trieste_tpu.models.gp.posterior import GPRParams, build_cache, predict_f
+    from trieste_tpu.models.gp.vgp import natural_gradient_step
+    from trieste_tpu.ops.kernels import stationary
+
+    key = jax.random.PRNGKey(5)
+    X = jax.random.uniform(key, (20, 1), minval=-2.0, maxval=2.0)
+    Y = jnp.sin(X)
+    noise = 0.05
+    model, ds = _vgp_with_likelihood(
+        GaussianLikelihood(variance=jnp.asarray(noise, X.dtype)), X, Y
+    )
+    # natural-gradient steps only (hypers fixed): conjugate natgrad converges in ~1 step
+    params = model.params
+    args = (ds.query_points, ds.observations, ds.mask)
+    for _ in range(5):
+        params = natural_gradient_step(params, *args, gamma=0.9)
+    model._params = params
+
+    gpr = GPRParams(
+        kernel=params.kernel,
+        noise_variance=jnp.asarray(noise, X.dtype),
+        mean_constant=jnp.asarray(0.0, X.dtype),
+    )
+    cache = build_cache(gpr, ds.query_points, ds.observations, ds.mask)
+    xs = jnp.linspace(-2.0, 2.0, 9)[:, None]
+    want_mean, want_var = predict_f(gpr, cache, xs)
+    got_mean, got_var = model.predict(xs)
+    np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_var), np.asarray(want_var), atol=2e-3)
+    # predict_y adds the observation noise
+    y_mean, y_var = model.predict_y(xs)
+    np.testing.assert_allclose(np.asarray(y_var - got_var), noise, atol=1e-6)
+
+
+def test_vgp_gaussian_likelihood_variance_is_trained():
+    """fit_vgp's hyperparameter step must move a trainable Gaussian noise variance."""
+    from trieste_tpu.models.gp.likelihoods import GaussianLikelihood
+
+    key = jax.random.PRNGKey(7)
+    X = jax.random.uniform(key, (25, 1), minval=-2.0, maxval=2.0)
+    Y = jnp.sin(X) + 0.1 * jax.random.normal(jax.random.PRNGKey(8), X.shape, X.dtype)
+    model, ds = _vgp_with_likelihood(
+        GaussianLikelihood(variance=jnp.asarray(1.0, X.dtype)), X, Y
+    )
+    model.optimize(ds)
+    fitted = float(model.params.likelihood.variance)
+    assert fitted != 1.0
+    assert 1e-4 < fitted < 0.5  # pulled toward the generative 0.01
+
+
 # ------------------------------------------------------------------ encoded models
 
 

@@ -178,3 +178,65 @@ def test_dpp_quality_function_biases_selection(problem):
         return float(np.mean(np.linalg.norm(np.asarray(Z) - best, axis=-1)))
 
     assert mean_dist_to_best(Z_impr) <= mean_dist_to_best(Z_unit) + 0.35
+
+
+def test_svgp_minibatch_converges_on_large_dataset():
+    """Adam minibatch SVGP (reference ``BatchOptimizer``, ``models/optimizer.py:101-177``)
+    on n=10k: per-step cost is independent of n, and the fit must recover the
+    generative function and noise level."""
+    key = jax.random.PRNGKey(0)
+    kx, kn = jax.random.split(key)
+    n = 10_000
+    X = jax.random.uniform(kx, (n, 1), dtype=jnp.float64)
+    f_true = jnp.sin(6.0 * X)
+    noise = 0.05
+    Y = f_true + jnp.sqrt(noise) * jax.random.normal(kn, (n, 1), dtype=jnp.float64)
+    ds = Dataset.from_arrays(X, Y)
+
+    space = Box([0.0], [1.0])
+    model = build_svgp(
+        ds,
+        space,
+        num_inducing_points=30,
+        trainable_likelihood=True,
+        likelihood_variance=1.0,  # start far from the generative 0.05
+        kernel_priors=False,
+        minibatch_size=128,
+        minibatch_iters=600,
+        learning_rate=0.05,
+        optimize_key=jax.random.PRNGKey(3),
+    )
+    result = model.optimize(ds)
+    assert bool(jnp.isfinite(result.loss))
+
+    xs = jnp.linspace(0.0, 1.0, 200, dtype=jnp.float64)[:, None]
+    mean, var = model.predict(xs)
+    rmse = float(jnp.sqrt(jnp.mean(jnp.square(mean - jnp.sin(6.0 * xs)))))
+    assert rmse < 0.1, f"minibatch SVGP did not fit: rmse={rmse}"
+    fitted_noise = float(model.get_observation_noise())
+    assert 0.02 < fitted_noise < 0.15, f"noise not recovered: {fitted_noise}"
+
+
+def test_svgp_minibatch_matches_collapsed_fit_on_small_data(problem):
+    """On small data the minibatch path must land near the collapsed-bound optimum
+    (same model family, same ELBO): predictions agree to a few percent."""
+    space, ds = problem
+    exact = build_svgp(ds, space, num_inducing_points=30, kernel_priors=False)
+    exact.optimize(ds)
+    mini = build_svgp(
+        ds,
+        space,
+        num_inducing_points=30,
+        kernel_priors=False,
+        minibatch_size=32,
+        minibatch_iters=1500,
+        learning_rate=0.02,
+        optimize_key=jax.random.PRNGKey(4),
+    )
+    mini.optimize(ds)
+    xs = space.sample(jax.random.PRNGKey(11), 50)
+    m_exact, _ = exact.predict(xs)
+    m_mini, _ = mini.predict(xs)
+    scale = float(jnp.std(ds.trimmed_observations))
+    err = float(jnp.max(jnp.abs(m_exact - m_mini))) / scale
+    assert err < 0.15, f"minibatch fit far from collapsed optimum: {err}"

@@ -25,8 +25,10 @@ from .sparse import (
     SparseGaussianProcessRegression,
     SparseVariational,
     SVGPParams,
+    fit_svgp_minibatch,
 )
 from .training import fit_gpr
+from .likelihoods import BernoulliLikelihood, GaussianLikelihood, PoissonLikelihood
 from .vgp import VariationalGaussianProcess, VGPParams, build_vgp_classifier
 from .mcmc import GaussianProcessRegressionMCMC, build_gpr_mcmc
 from .multifidelity import (
@@ -44,10 +46,14 @@ __all__ = [
     "VariationalGaussianProcess",
     "VGPParams",
     "build_vgp_classifier",
+    "BernoulliLikelihood",
+    "GaussianLikelihood",
+    "PoissonLikelihood",
     "build_sgpr",
     "build_svgp",
     "SGPRParams",
     "SVGPParams",
+    "fit_svgp_minibatch",
     "SparseGaussianProcessRegression",
     "SparseVariational",
     "InducingPointSelector",

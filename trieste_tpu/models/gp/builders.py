@@ -160,8 +160,14 @@ def build_svgp(
     num_inducing_points: Optional[int] = None,
     inducing_point_selector: Optional[object] = None,
     optimize_key: Optional[jax.Array] = None,
+    minibatch_size: Optional[int] = None,
+    minibatch_iters: int = 500,
+    learning_rate: float = 0.05,
 ):
-    """Build a :class:`SparseVariational` SVGP (role of reference ``builders.py:282-381``)."""
+    """Build a :class:`SparseVariational` SVGP (role of reference ``builders.py:282-381``).
+
+    ``minibatch_size`` selects Adam minibatch training (the reference's
+    ``BatchOptimizer`` path, ``models/optimizer.py:101-177``) for large datasets."""
     import jax.numpy as jnp
 
     from .inducing_points import KMeansInducingPointSelector
@@ -194,4 +200,7 @@ def build_svgp(
         train_noise=trainable_likelihood,
         optimize_key=optimize_key,
         priors=priors,
+        minibatch_size=minibatch_size,
+        minibatch_iters=minibatch_iters,
+        learning_rate=learning_rate,
     )

@@ -1,9 +1,11 @@
-"""Variational GP for non-conjugate likelihoods (Bernoulli classification).
+"""Variational GP for non-conjugate likelihoods.
 
 TPU-native rebuild of the reference's ``VariationalGaussianProcess``
 (``models/gpflow/models.py:1109-1383``): a whitened full-rank variational posterior over
-the latent function at the training inputs, a probit-Bernoulli likelihood integrated with
-Gauss-Hermite quadrature, and training that alternates **natural-gradient steps** on
+the latent function at the training inputs, an arbitrary observation likelihood
+(:mod:`trieste_tpu.models.gp.likelihoods` — Bernoulli/Gaussian/Poisson, defaulting to
+probit-Bernoulli classification) integrated in closed form or with Gauss-Hermite
+quadrature, and training that alternates **natural-gradient steps** on
 ``(q_mu, q_sqrt)`` with L-BFGS hyperparameter steps (the reference's NaturalGradient
 alternation, ``models.py:1276-1319``). The natural-gradient direction is obtained by
 autodiff in expectation parameters — a closed-form transformation of the ordinary
@@ -20,9 +22,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
-from jax.scipy.stats import norm
 
 from ...data import Dataset
 from ...types import TensorType
@@ -33,9 +33,7 @@ from ...ops.linalg import masked_cholesky
 from .posterior import _mm
 from .training import MIN_VARIANCE
 
-# 20-point Gauss-Hermite quadrature (probabilists', for N(mu, var) expectations)
-_GH_X, _GH_W = np.polynomial.hermite_e.hermegauss(20)
-_GH_W = _GH_W / np.sqrt(2.0 * np.pi)
+from .likelihoods import BernoulliLikelihood
 
 
 @struct.dataclass
@@ -44,22 +42,16 @@ class VGPParams:
     mean_constant: jax.Array
     q_mu: jax.Array  # [C, 1] whitened mean
     q_sqrt: jax.Array  # [C, C] whitened lower-tri sqrt
-
-
-def _bernoulli_log_prob(f: jax.Array, y: jax.Array) -> jax.Array:
-    """Probit Bernoulli: ``log P(y | f) = log Phi((2y-1) f)``, numerically safe."""
-    sign = 2.0 * y - 1.0
-    return jnp.clip(norm.logcdf(sign * f), -1e3, 0.0)
+    likelihood: object = struct.field(default_factory=BernoulliLikelihood)
 
 
 def vgp_variational_expectations(
-    mean: jax.Array, var: jax.Array, Y: jax.Array
+    mean: jax.Array, var: jax.Array, Y: jax.Array, likelihood=None
 ) -> jax.Array:
-    """``E_{N(f | mean, var)}[log p(y|f)]`` by Gauss-Hermite quadrature, ``[C, 1]``."""
-    std = jnp.sqrt(jnp.maximum(var, 1e-24))
-    nodes = mean[..., None] + std[..., None] * _GH_X  # [C, 1, Q]
-    logp = _bernoulli_log_prob(nodes, Y[..., None])
-    return jnp.sum(logp * _GH_W, axis=-1)
+    """``E_{N(f | mean, var)}[log p(y|f)]`` for ``likelihood`` (default probit-Bernoulli),
+    closed-form where the likelihood provides one, else Gauss-Hermite, ``[C, 1]``."""
+    likelihood = likelihood if likelihood is not None else BernoulliLikelihood()
+    return likelihood.variational_expectations(mean, jnp.maximum(var, 1e-24), Y)
 
 
 def _latent_moments(
@@ -81,7 +73,9 @@ def vgp_elbo(
     K = gram(params.kernel, X)
     L = masked_cholesky(K, mask)
     f_mean, f_var = _latent_moments(params, L, mask)
-    ve = vgp_variational_expectations(f_mean[:, None], f_var[:, None], Y)  # [C, 1]
+    ve = vgp_variational_expectations(
+        f_mean[:, None], f_var[:, None], Y, params.likelihood
+    )  # [C, 1]
     lik = jnp.sum(ve[:, 0] * m)
     diag = jnp.diagonal(params.q_sqrt)
     n = jnp.sum(m)
@@ -184,14 +178,20 @@ def fit_vgp(
     the hyperparameters when ``priors`` is given)."""
     from .priors import log_prior_density
 
+    # likelihoods with a trainable ``variance`` leaf (Gaussian) join the hyper step
+    train_lik_var = hasattr(params.likelihood, "variance")
+
     def hyper_pack(p: VGPParams) -> jax.Array:
         ls = jnp.atleast_1d(p.kernel.lengthscales)
-        return jnp.concatenate(
-            [
-                jnp.log(jnp.maximum(jnp.atleast_1d(p.kernel.variance), MIN_VARIANCE)),
-                jnp.log(jnp.maximum(ls, MIN_VARIANCE)),
-            ]
-        )
+        parts = [
+            jnp.log(jnp.maximum(jnp.atleast_1d(p.kernel.variance), MIN_VARIANCE)),
+            jnp.log(jnp.maximum(ls, MIN_VARIANCE)),
+        ]
+        if train_lik_var:
+            parts.append(
+                jnp.log(jnp.maximum(jnp.atleast_1d(p.likelihood.variance), MIN_VARIANCE))
+            )
+        return jnp.concatenate(parts)
 
     def hyper_unpack(u: jax.Array, p: VGPParams) -> VGPParams:
         ls_shape = jnp.shape(p.kernel.lengthscales)
@@ -200,7 +200,14 @@ def fit_vgp(
         ls = jnp.exp(u[1 : 1 + n_ls])
         if ls_shape == ():
             ls = ls[0]
-        return p.replace(kernel=p.kernel.replace(variance=variance, lengthscales=ls))
+        p = p.replace(kernel=p.kernel.replace(variance=variance, lengthscales=ls))
+        if train_lik_var:
+            p = p.replace(
+                likelihood=p.likelihood.replace(
+                    variance=jnp.exp(u[1 + n_ls]).astype(u.dtype)
+                )
+            )
+        return p
 
     def alternation(p: VGPParams, _):
         def ng(q, _):
@@ -228,10 +235,11 @@ def fit_vgp(
 
 
 class VariationalGaussianProcess:
-    """VGP Bernoulli classifier (reference ``models/gpflow/models.py:1109-1383``).
+    """VGP over an arbitrary likelihood (reference ``models/gpflow/models.py:1109-1383``);
+    the default probit-Bernoulli gives the classifier.
 
-    ``predict`` returns latent moments; ``predict_y`` the class probability via the
-    probit integral ``Phi(mean / sqrt(1 + var))``.
+    ``predict`` returns latent moments; ``predict_y`` maps them through the
+    likelihood (e.g. the probit integral ``Phi(mean / sqrt(1 + var))`` for Bernoulli).
     """
 
     def __init__(
@@ -275,8 +283,7 @@ class VariationalGaussianProcess:
 
     def predict_y(self, query_points: TensorType) -> Tuple[jax.Array, jax.Array]:
         mean, var = self.predict(query_points)
-        p = norm.cdf(mean / jnp.sqrt(1.0 + var))
-        return p, p * (1.0 - p)
+        return self._params.likelihood.predict_y(mean, var)
 
     def sample(self, key: jax.Array, query_points: TensorType, num_samples: int) -> jax.Array:
         mean, var = self.predict(query_points)
