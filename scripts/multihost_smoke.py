@@ -16,7 +16,8 @@ import os
 import subprocess
 import sys
 
-COORD = "localhost:12357"
+# coordinator address; override the port via env when 12357 is taken (e.g. parallel CI)
+COORD = os.environ.get("TRIESTE_TPU_COORD", "localhost:12357")
 NPROC = 2
 LOCAL_DEVICES = 4
 

@@ -6,6 +6,21 @@ the :class:`Pareto` front with its cell-partition hypervolume indicator
 diverse-subset selector (``pareto.py:82-268``) — the reference solves a Sharpe-ratio QP
 with cvxpy; here the simplex-constrained QP is solved by projected gradient descent in
 pure JAX, removing the host dependency.
+
+Examples:
+
+>>> import jax.numpy as jnp
+>>> from trieste_tpu.acquisition.multi_objective.pareto import Pareto, get_reference_point
+>>> observations = jnp.array([[0.0, 2.0], [1.0, 1.0], [2.0, 0.0], [2.0, 2.0]])
+>>> front = Pareto(observations).front  # [2, 2] is dominated
+>>> front.shape
+(3, 2)
+>>> ref = get_reference_point(front)
+>>> ref.shape
+(2,)
+>>> hv = Pareto(observations).hypervolume_indicator(jnp.array([3.0, 3.0]))
+>>> round(float(hv), 6)
+6.0
 """
 from __future__ import annotations
 

@@ -19,6 +19,16 @@ multi-start projected L-BFGS, and winner selection — is one jitted device prog
   if a slice still has no finite value (acquisition NaN over the whole sampled
   region), fresh-seed recovery runs retry up to ``num_recovery_runs`` times before
   raising (reference ``optimizer.py:461-530``).
+
+Examples — exhaustive maximization over a discrete space:
+
+>>> import jax.numpy as jnp
+>>> from trieste_tpu.acquisition.optimizer import optimize_discrete
+>>> from trieste_tpu.space import DiscreteSearchSpace
+>>> space = DiscreteSearchSpace(jnp.array([[0.0], [1.0], [2.0]]))
+>>> acq = lambda x: -jnp.sum((x[..., 0, :] - 1.9) ** 2, axis=-1, keepdims=True)
+>>> optimize_discrete(space, acq).tolist()
+[[2.0]]
 """
 from __future__ import annotations
 

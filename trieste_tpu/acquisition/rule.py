@@ -9,6 +9,22 @@ lives in :mod:`trieste_tpu.acquisition.trust_region` and is re-exported by the p
 Stateful rules follow the reference's functional ``State`` protocol
 (``types.py:28-33``): ``acquire`` may return a callable ``state -> (state, points)``,
 which is a pure function of pytrees — jittable on TPU.
+
+Examples — the async pending-point state machine (reference ``rule.py:402-489``):
+
+>>> import jax.numpy as jnp
+>>> from trieste_tpu.acquisition.rule import AsynchronousRuleState
+>>> state = AsynchronousRuleState(None)
+>>> state.has_pending_points
+False
+>>> state = state.add_pending_points(jnp.array([[0.0, 0.0], [1.0, 1.0]]))
+>>> state.has_pending_points
+True
+>>> state.pending_points.shape
+(2, 2)
+>>> state = state.remove_points(jnp.array([[1.0, 1.0]]))  # observation arrived
+>>> state.pending_points.shape
+(1, 2)
 """
 from __future__ import annotations
 

@@ -9,6 +9,27 @@ geometrically on overflow so a full BO run compiles only O(log n) distinct shape
 
 All numerics downstream (GP posteriors, acquisition functions) are mask-aware: rows at or
 beyond ``num_points`` are padding and must not influence results.
+
+Examples (doctest parity with the reference's ``--doctest-modules`` suite):
+
+>>> import jax.numpy as jnp
+>>> from trieste_tpu.data import Dataset
+>>> ds = Dataset.from_arrays(jnp.zeros((3, 2)), jnp.ones((3, 1)))
+>>> len(ds)
+3
+>>> ds.capacity  # padded to the next power of two
+8
+>>> ds.query_points.shape, ds.observations.shape
+((8, 2), (8, 1))
+>>> more = Dataset.from_arrays(jnp.ones((2, 2)), jnp.zeros((2, 1)))
+>>> combined = ds + more  # concatenation appends within capacity
+>>> len(combined)
+5
+>>> qp, obs = combined.astuple()  # trimmed views of the valid prefix
+>>> qp.shape
+(5, 2)
+>>> bool(combined.mask[4]), bool(combined.mask[5])
+(True, False)
 """
 from __future__ import annotations
 

@@ -3,6 +3,23 @@
 TPU-native counterpart of the reference's ``trieste/models/gpflow/builders.py:85-657``
 (``build_gpr`` etc.): constructs a GPR whose kernel hyperparameters are scaled to the
 search space and the observed data, so optimization starts from a reasonable basin.
+
+Examples:
+
+>>> import jax, jax.numpy as jnp
+>>> from trieste_tpu.data import Dataset
+>>> from trieste_tpu.models.gp import build_gpr
+>>> from trieste_tpu.space import Box
+>>> X = jnp.array([[0.1, 0.2], [0.5, 0.6], [0.9, 0.3]])
+>>> ds = Dataset.from_arrays(X, jnp.sum(X, axis=-1, keepdims=True))
+>>> model = build_gpr(ds, Box([0.0, 0.0], [1.0, 1.0]))
+>>> mean, var = model.predict(jnp.array([[0.4, 0.4]]))
+>>> mean.shape, var.shape
+((1, 1), (1, 1))
+>>> bool(jnp.all(var > 0))
+True
+>>> model.get_kernel().lengthscales.shape  # per-dimension ARD lengthscales
+(2,)
 """
 from __future__ import annotations
 

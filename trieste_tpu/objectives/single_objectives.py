@@ -5,6 +5,20 @@ catalogue of standard synthetic problems (Branin, Hartmann, Michalewicz, …, al
 functions from the optimization literature), implemented in JAX with vmap-friendly
 vectorized evaluation. Each problem records its search space, minimizers and minimum for
 regret-parity tests (reference ``single_objectives.py:38-76``).
+
+Examples:
+
+>>> import jax.numpy as jnp
+>>> from trieste_tpu.objectives import Branin, ScaledBranin, Hartmann6
+>>> Branin.search_space.dimension
+2
+>>> y = Branin.objective(Branin.minimizers)  # objective at the known minimizers
+>>> bool(jnp.allclose(y, Branin.minimum, atol=1e-5))
+True
+>>> round(float(ScaledBranin.minimum[0]), 4)
+-1.0474
+>>> Hartmann6.objective(jnp.zeros((4, 6))).shape  # vectorized evaluation
+(4, 1)
 """
 from __future__ import annotations
 

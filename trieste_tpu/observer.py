@@ -3,6 +3,23 @@
 TPU-native rebuild of the reference ``trieste/observer.py:25-78``. Observers run on the
 host side of the loop — control deliberately leaves the jitted world here, since the
 objective may be an external experiment.
+
+Examples:
+
+>>> import jax.numpy as jnp
+>>> from trieste_tpu.observer import filter_finite, map_is_finite, OBJECTIVE
+>>> qp = jnp.array([[0.0], [1.0], [2.0]])
+>>> obs = jnp.array([[1.0], [jnp.inf], [3.0]])
+>>> kept = filter_finite(qp, obs)  # drops the non-finite observation row
+>>> len(kept)
+2
+>>> flags = map_is_finite(qp, obs)  # success indicators instead of dropping
+>>> len(flags)
+3
+>>> [int(v) for v in flags.trimmed_observations[:, 0]]
+[1, 0, 1]
+>>> OBJECTIVE
+'OBJECTIVE'
 """
 from __future__ import annotations
 

@@ -14,6 +14,35 @@ reference by design:
 Reference citations: ``SearchSpace`` ABC ``space.py:208-384``; constraints
 ``space.py:48-204``; discrete spaces ``space.py:387-726``; ``Box`` ``space.py:729-1118``;
 collection spaces ``space.py:1121-1541``; encoders ``space.py:506-550``.
+
+Examples:
+
+>>> import jax, jax.numpy as jnp
+>>> from trieste_tpu.space import Box, DiscreteSearchSpace, TaggedProductSearchSpace
+>>> box = Box([0.0, 0.0], [1.0, 2.0])
+>>> box.dimension
+2
+>>> box.sample(jax.random.PRNGKey(0), 5).shape
+(5, 2)
+>>> bool(box.contains(jnp.array([0.5, 1.5])))
+True
+>>> bool(box.contains(jnp.array([0.5, 2.5])))
+False
+>>> points = jnp.array([[0.0], [0.5], [1.0]])
+>>> discrete = DiscreteSearchSpace(points)
+>>> discrete.points.shape
+(3, 1)
+>>> product = box * discrete  # product space concatenates dimensions
+>>> product.dimension
+3
+>>> squared = box ** 2
+>>> squared.dimension
+4
+>>> tagged = TaggedProductSearchSpace([box, discrete], tags=["cont", "disc"])
+>>> tagged.subspace_tags
+('cont', 'disc')
+>>> tagged.get_subspace("disc").points.shape
+(3, 1)
 """
 from __future__ import annotations
 

@@ -5,6 +5,30 @@ TPU-native rebuild of the reference's ``trieste/utils/misc.py``: the ``Result`` 
 ``LocalizedTag`` (``misc.py:249-284``) and small mapping helpers. JAX-specific additions:
 ``default_float`` (dtype policy — f64 when x64 is enabled, else f32) and
 ``flatten_leading_dims`` built on ``jnp.reshape``.
+
+Examples:
+
+>>> from trieste_tpu.utils.misc import Ok, Err, LocalizedTag, map_values
+>>> Ok(3).unwrap()
+3
+>>> Ok(3).is_ok
+True
+>>> Err(ValueError("boom")).is_err
+True
+>>> tag = LocalizedTag("OBJECTIVE", 2)
+>>> tag.global_tag, tag.local_index
+('OBJECTIVE', 2)
+>>> LocalizedTag.from_tag(tag) is tag
+True
+>>> map_values(lambda v: v + 1, {"a": 1, "b": 2})["b"]
+3
+>>> import jax.numpy as jnp
+>>> from trieste_tpu.utils.misc import flatten_leading_dims
+>>> flat, unflatten = flatten_leading_dims(jnp.zeros((2, 3, 4)))
+>>> flat.shape
+(6, 4)
+>>> unflatten(flat).shape
+(2, 3, 4)
 """
 from __future__ import annotations
 
