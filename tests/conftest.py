@@ -48,6 +48,21 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip_fast)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound XLA-CPU resource accumulation across a long single-process run.
+
+    ``python -m pytest tests/ -q`` previously died with a fatal signal inside
+    ``_pjit_call_impl_python`` ~15 minutes in (with >100 GB RAM free): hundreds of
+    tests x 8 virtual devices accumulate compiled executables and their backing
+    XLA-CPU state in one process until the runtime falls over. Dropping the
+    compilation caches between test modules keeps the peak bounded (each module
+    recompiles what it needs — within-module caching, which the no-retrace tests
+    rely on, is unaffected)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(1234)

@@ -58,10 +58,22 @@ def _normal_pdf_cdf(z: jax.Array) -> tuple[jax.Array, jax.Array]:
     return norm.pdf(z), norm.cdf(z)
 
 
+def _single_batch(x: TensorType, who: str) -> jax.Array:
+    """Trace-time check that ``x`` is ``[..., 1, D]`` — the reference's runtime shape
+    assert (e.g. ``function.py:205-208``) as a free static check: non-batch acquisition
+    functions silently scoring only the first batch element would be wrong, not slow."""
+    x = jnp.asarray(x)
+    if x.ndim < 2 or x.shape[-2] != 1:
+        raise ValueError(
+            f"{who} only supports batch sizes of one, got query shape {x.shape}"
+        )
+    return x
+
+
 def _ei_fn(predict: Callable, eta: jax.Array, x: TensorType) -> jax.Array:
     """Analytic expected improvement (reference ``expected_improvement``,
     ``function.py:190-223``). ``x: [..., 1, D] -> [..., 1]``."""
-    mean, var = predict(jnp.asarray(x)[..., 0, :])  # [..., L]
+    mean, var = predict(_single_batch(x, "expected_improvement")[..., 0, :])  # [..., L]
     std = jnp.sqrt(jnp.maximum(var, 1e-24))
     z = (eta - mean) / std
     pdf, cdf = _normal_pdf_cdf(z)
@@ -71,7 +83,7 @@ def _ei_fn(predict: Callable, eta: jax.Array, x: TensorType) -> jax.Array:
 def _poi_fn(predict: Callable, eta: jax.Array, x: TensorType) -> jax.Array:
     """Probability of improvement (reference ``probability_below_threshold``,
     ``function.py:47-95``)."""
-    mean, var = predict(jnp.asarray(x)[..., 0, :])
+    mean, var = predict(_single_batch(x, "probability_of_improvement")[..., 0, :])
     std = jnp.sqrt(jnp.maximum(var, 1e-24))
     return norm.cdf((eta - mean) / std)[..., 0:1]
 
@@ -80,7 +92,7 @@ def _aei_fn(
     predict: Callable, eta: jax.Array, noise_variance: jax.Array, x: TensorType
 ) -> jax.Array:
     """Augmented EI for noisy observations (reference ``function.py:226-327``)."""
-    mean, var = predict(jnp.asarray(x)[..., 0, :])
+    mean, var = predict(_single_batch(x, "augmented_expected_improvement")[..., 0, :])
     std = jnp.sqrt(jnp.maximum(var, 1e-24))
     z = (eta - mean) / std
     pdf, cdf = _normal_pdf_cdf(z)
@@ -92,14 +104,14 @@ def _aei_fn(
 def _neg_lcb_fn(predict: Callable, beta: jax.Array, x: TensorType) -> jax.Array:
     """Negative lower confidence bound (reference ``lower_confidence_bound``,
     ``function.py:379-419``)."""
-    mean, var = predict(jnp.asarray(x)[..., 0, :])
+    mean, var = predict(_single_batch(x, "lower_confidence_bound")[..., 0, :])
     std = jnp.sqrt(jnp.maximum(var, 1e-24))
     return -(mean - beta * std)[..., 0:1]
 
 
 def _pof_fn(predict: Callable, threshold: jax.Array, x: TensorType) -> jax.Array:
     """Probability of feasibility P(f < threshold) (reference ``function.py:421-515``)."""
-    mean, var = predict(jnp.asarray(x)[..., 0, :])
+    mean, var = predict(_single_batch(x, "probability_of_feasibility")[..., 0, :])
     std = jnp.sqrt(jnp.maximum(var, 1e-24))
     return norm.cdf((threshold - mean) / std)[..., 0:1]
 

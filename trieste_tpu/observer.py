@@ -52,6 +52,10 @@ def filter_finite(query_points: TensorType, observations: TensorType) -> Dataset
     obs = np.asarray(observations)
     if obs.ndim != 2 or obs.shape[-1] != 1:
         raise ValueError(f"observations must have shape [N, 1], got {obs.shape}")
+    if qp.ndim != 2 or qp.shape[0] != obs.shape[0]:
+        raise ValueError(
+            f"query points {qp.shape} do not match observations {obs.shape}"
+        )
     mask = np.isfinite(obs).all(axis=-1)
     return Dataset.from_arrays(qp[mask], obs[mask])
 
