@@ -493,6 +493,13 @@ class AsynchronousGreedy(
             optimizer = automatic_optimizer_selector
         if isinstance(builder, SingleModelGreedyAcquisitionBuilder):
             builder = builder.using(OBJECTIVE)
+        if not isinstance(builder, GreedyAcquisitionFunctionBuilder):
+            # reference ``rule.py:713-721``: this rule's loop relies on the
+            # pending-points protocol, which only greedy builders implement
+            raise NotImplementedError(
+                f"AsynchronousGreedy requires a greedy acquisition builder, "
+                f"got {type(builder).__name__}"
+            )
         self._builder = builder
         self._optimizer = optimizer
         self._num_query_points = num_query_points

@@ -190,8 +190,13 @@ class ReparametrizationSampler(ABC):
         """``at: [..., B, D]`` → samples ``[..., S, B, L]``."""
 
     def reset_sampler(self) -> None:
-        """Forget the frozen base samples (reference ``interfaces.py:620-626``)."""
+        """Forget the frozen base samples so the next :meth:`sample` redraws
+        (reference ``interfaces.py:620-626``)."""
         self._initialized = False
+        # subclasses freeze their base draws in ``_eps``; clearing it here makes reset
+        # actually redraw rather than only flipping the flag
+        if hasattr(self, "_eps"):
+            self._eps = None
 
 
 TrajectoryFunction = Callable[[TensorType], jax.Array]
