@@ -216,6 +216,11 @@ class GaussianProcessRegression:
                 f"dataset dimension {dataset.dimension} != model dimension "
                 f"{self._dataset.dimension}"
             )
+        if dataset.num_outputs != self._dataset.num_outputs:
+            raise ValueError(
+                f"dataset has {dataset.num_outputs} outputs, model has "
+                f"{self._dataset.num_outputs}"
+            )
         self._dataset = dataset
         self._cache = _jit_cache(
             self._params, dataset.query_points, dataset.observations, dataset.mask

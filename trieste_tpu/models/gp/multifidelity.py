@@ -85,14 +85,18 @@ class MultifidelityAutoregressive:
 
     def predict(self, query_points: TensorType) -> Tuple[jax.Array, jax.Array]:
         """``[N, D+1]`` (trailing fidelity column) → per-row level predictions."""
-        x, fid = check_and_extract_fidelity_query_points(jnp.asarray(query_points))
+        x, fid = check_and_extract_fidelity_query_points(
+            jnp.asarray(query_points), max_fidelity=self.num_fidelities - 1
+        )
         means, variances = self._level_moments(x)
         return _select_by_fidelity(means, fid), _select_by_fidelity(variances, fid)
 
     def covariance_with_top_fidelity(self, query_points: TensorType) -> jax.Array:
         """``cov(f_m(x), f_top(x))`` per row (reference ``models.py:1560-1610``):
         under AR(1), ``cov(f_m, f_S) = prod_{j>=m} rho_j * var(f_m)``."""
-        x, fid = check_and_extract_fidelity_query_points(jnp.asarray(query_points))
+        x, fid = check_and_extract_fidelity_query_points(
+            jnp.asarray(query_points), max_fidelity=self.num_fidelities - 1
+        )
         _, variances = self._level_moments(x)
         S = self.num_fidelities
         covs = []
@@ -226,14 +230,18 @@ class MultifidelityNonlinearAutoregressive:
         return means, variances
 
     def predict(self, query_points: TensorType) -> Tuple[jax.Array, jax.Array]:
-        x, fid = check_and_extract_fidelity_query_points(jnp.asarray(query_points))
+        x, fid = check_and_extract_fidelity_query_points(
+            jnp.asarray(query_points), max_fidelity=self.num_fidelities - 1
+        )
         self._key, sub = jax.random.split(self._key)
         means, variances = self._propagate(sub, x)
         return _select_by_fidelity(means, fid), _select_by_fidelity(variances, fid)
 
     def covariance_with_top_fidelity(self, query_points: TensorType) -> jax.Array:
         """MC estimate of ``cov(f_m, f_top)`` via the shared propagation samples."""
-        x, fid = check_and_extract_fidelity_query_points(jnp.asarray(query_points))
+        x, fid = check_and_extract_fidelity_query_points(
+            jnp.asarray(query_points), max_fidelity=self.num_fidelities - 1
+        )
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, self.num_fidelities)
         m0, v0 = self._models[0].predict(x)
