@@ -58,11 +58,9 @@ def _expected_feasibility_bichon_fn(
     t_plus = t + alpha
     t_minus = t - alpha
     G = (
-        t * (2.0 * norm.cdf(t) - norm.cdf(t_minus) - norm.cdf(t_plus))
-        + 2.0 * norm.pdf(t)
-        - norm.pdf(t_minus)
-        - norm.pdf(t_plus)
-        + alpha * (norm.cdf(t_plus) - norm.cdf(t_minus))
+        alpha * (norm.cdf(t_plus) - norm.cdf(t_minus))
+        - t * (2.0 * norm.cdf(t) - norm.cdf(t_plus) - norm.cdf(t_minus))
+        - (2.0 * norm.pdf(t) - norm.pdf(t_plus) - norm.pdf(t_minus))
     )
     return (std * G)[..., 0:1]
 
@@ -77,7 +75,7 @@ def _expected_feasibility_ranjan_fn(
     t_plus = t + alpha
     t_minus = t - alpha
     G = (
-        (t**2 + alpha**2 - 1.0) * (norm.cdf(t_plus) - norm.cdf(t_minus))
+        (alpha**2 - 1.0 - t**2) * (norm.cdf(t_plus) - norm.cdf(t_minus))
         - 2.0 * t * (norm.pdf(t_plus) - norm.pdf(t_minus))
         + t_plus * norm.pdf(t_plus)
         - t_minus * norm.pdf(t_minus)

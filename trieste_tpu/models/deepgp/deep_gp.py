@@ -341,6 +341,8 @@ def build_vanilla_deep_gp(
 ) -> DeepGaussianProcess:
     """Build a vanilla DGP (role of reference ``models/gpflux/builders.py:65-200``):
     inner layers at the input width with identity mean, output layer scalar."""
+    if num_layers < 1:
+        raise ValueError(f"num_layers must be at least 1, got {num_layers}")
     from ..gp.inducing_points import KMeansInducingPointSelector
 
     key = key if key is not None else jax.random.PRNGKey(0)

@@ -360,6 +360,10 @@ def build_deep_ensemble(
 ) -> DeepEnsemble:
     """Build a deep ensemble (role of reference ``build_keras_ensemble``,
     ``models/keras/builders.py:32-130``)."""
+    if ensemble_size < 2:
+        raise ValueError(f"ensemble_size must be at least 2, got {ensemble_size}")
+    if not hidden_units:
+        raise ValueError("need at least one hidden layer")
     key = key if key is not None else jax.random.PRNGKey(0)
     network = GaussianMLP(
         hidden_units=tuple(hidden_units), output_dim=dataset.num_outputs
