@@ -82,3 +82,45 @@ def test_float32_predictions_have_no_f64_leaks():
         ei = ExpectedImprovement().prepare_acquisition_function(model, ds)
         vals = ei(x[:, None, :])
         assert vals.dtype == jnp.float32
+
+
+def test_float32_svgp_minibatch_and_vgp_likelihoods():
+    """The round-4 additions (Adam minibatch SVGP, pluggable VGP likelihoods) also hold
+    f32 end-to-end — no silent f64 promotion in the optax scan or the quadrature."""
+    with jax.enable_x64(False):
+        from trieste_tpu.data import Dataset
+        from trieste_tpu.models.gp import PoissonLikelihood, build_svgp
+        from trieste_tpu.models.gp.vgp import VariationalGaussianProcess, VGPParams
+        from trieste_tpu.ops.kernels import stationary
+        from trieste_tpu.space import Box
+
+        key = jax.random.PRNGKey(0)
+        X = jax.random.uniform(key, (256, 1), dtype=jnp.float32)
+        Y = jnp.sin(5 * X) + 0.1 * jax.random.normal(
+            jax.random.PRNGKey(1), X.shape, jnp.float32
+        )
+        ds = Dataset.from_arrays(X, Y)
+        svgp = build_svgp(
+            ds, Box([0.0], [1.0]), num_inducing_points=16, kernel_priors=False,
+            minibatch_size=64, minibatch_iters=50, optimize_key=jax.random.PRNGKey(2),
+        )
+        result = svgp.optimize(ds)
+        _assert_all_f32(result.params, "minibatch SVGP params")
+        mean, var = svgp.predict(X[:8])
+        assert mean.dtype == var.dtype == jnp.float32
+
+        Xp = jnp.linspace(-1, 1, 16, dtype=jnp.float32)[:, None]
+        Yp = jnp.ones((16, 1), jnp.float32)
+        dsp = Dataset.from_arrays(Xp, Yp)
+        params = VGPParams(
+            kernel=stationary("matern52", 1.0, [0.5], dtype=jnp.float32),
+            mean_constant=jnp.asarray(0.0, jnp.float32),
+            q_mu=jnp.zeros((dsp.capacity, 1), jnp.float32),
+            q_sqrt=jnp.eye(dsp.capacity, dtype=jnp.float32),
+            likelihood=PoissonLikelihood(),
+        )
+        vgp = VariationalGaussianProcess(params, dsp, num_alternations=2)
+        vgp.optimize(dsp)
+        _assert_all_f32(vgp.params, "VGP params")
+        rate, rate_var = vgp.predict_y(Xp[:4])
+        assert rate.dtype == rate_var.dtype == jnp.float32
