@@ -42,8 +42,9 @@ bf16-grade, ~1e-2 relative — unusable everywhere here):
   :func:`fused_predict_f` (XLA hoists/fuses them; the cost is O(C²), negligible next to
   the O(N·C²) kernel); ``K`` is split per tile in VMEM.
 
-Measured on v5e (N=131072, D=6): 1.6 ms vs 1.85 ms unfused XLA at C=256;
-7.1 ms vs 11.7 ms at C=1024.
+Measured on v5e (N=131072, D=6, round-4 tile model): 1.06 ms vs 1.85 ms unfused XLA
+at C=256; 5.97 ms vs 11.7 ms at C=1024 (tile 512 — ~71% of the 3-pass MXU-bound
+attainable time; see the roofline in ``bench.py``).
 
 Correctness with padded training buffers (:mod:`trieste_tpu.ops.linalg`) is free: padded
 rows of ``α`` and padded rows/columns of ``L⁻ᵀ`` are exactly zero, so the (finite, junk)
@@ -82,10 +83,13 @@ def _tile_for(Cp: int) -> int:
 
     Empirical model (v5e): the per-tile working set costs ~24.5 bytes per K element
     (K f32 + bf16 hi/lo splits + v f32 + partial-product temporaries), plus the
-    resident ``4·Cp²`` bytes of the LinvT bf16 splits. Measured: tile 2048 @ Cp=256
-    compiles (12.8M), tile 4096 @ Cp=256 OOMs at 25.7M against the 16M scoped limit.
+    resident ``4·Cp²`` bytes of the LinvT bf16 splits. Measured: tile 4096 @ Cp=256
+    OOMs; tile 2048 @ Cp=1024 fails to compile while tile 1024 works, so the usable
+    budget is ~18 MiB (Mosaic reuses some of the model's temporaries). Tile sweep at
+    Cp=1024 (``scripts/kernel_tile_experiment.py``): 128→6.50 ms, 256→6.39, 512→6.15
+    (best), 1024→6.23 — the model's 18 MiB budget selects 512 there.
     """
-    budget = 14 * 2**20 - 4 * Cp * Cp
+    budget = 18 * 2**20 - 4 * Cp * Cp
     t = budget // int(24.5 * Cp)
     return max(256, min(2048, 1 << max(int(t).bit_length() - 1, 0)))
 
