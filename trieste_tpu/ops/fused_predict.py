@@ -77,6 +77,15 @@ MIN_POINTS = 2048
 # scoped-VMEM budget; fall back to XLA (at that scale users want sparse models anyway)
 _MAX_TRAIN = 1024
 
+# capacities up to this use the exact elementwise (VPU) r² instead of the 6-pass
+# HIGHEST matmul. DEFAULT OFF (0): although a standalone small-C call is ~38% faster
+# elementwise (C=128: 0.93→0.58 ms — the r² matmul pads depth D=6 to the MXU's 128
+# lanes and runs 6 passes), in the steady-state dispatch-amortized regime the MXU
+# matmul overlaps with the previous call's VPU tail and wins clearly (EI-chain
+# throughput 147.5M vs 134M evals/s measured v5e). Flip >0 for latency-critical
+# single-shot scoring of small-capacity posteriors.
+_ELEMENTWISE_MAX_CP = 0
+
 
 def _tile_for(Cp: int) -> int:
     """Largest candidate-tile size whose VMEM working set fits the scoped budget.
@@ -134,17 +143,32 @@ def _make_kernel(kind: str):
         x = x_ref[:]
         kvar = scal_ref[0, 0]
         mean_const = scal_ref[0, 1]
-        x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [T, 1]
-        # r² cancels catastrophically → full 6-pass f32 emulation (contraction depth
-        # is only D, so this one is cheap)
-        ab = jax.lax.dot_general(
-            x,
-            a_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [T, Cp]
-        r2 = jnp.maximum(x2 + b2_ref[0, :][None, :] - 2.0 * ab, 0.0)
+        D = x.shape[-1]
+        Cp_k = a_ref.shape[0]
+        if D <= 16 and Cp_k <= _ELEMENTWISE_MAX_CP:
+            # r² via a static unrolled VPU loop over input dims: exact f32
+            # differences (no cancellation at all — strictly better than any
+            # emulated-matmul expansion of |x|²+|a|²−2xa) and no MXU time.
+            # See _ELEMENTWISE_MAX_CP for when this pays (single-shot latency at
+            # small C) and when it does not (pipelined throughput; large C, where
+            # strided per-column broadcasts cost more than the matmul: 6.0→6.6 ms
+            # at C=1024).
+            a = a_ref[:]
+            r2 = jnp.zeros(x.shape[:-1] + a.shape[:1], jnp.float32)
+            for d in range(D):
+                diff = x[:, d][:, None] - a[:, d][None, :]  # [T, Cp]
+                r2 = r2 + diff * diff
+        else:
+            x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [T, 1]
+            # r² cancels catastrophically in this form → 6-pass f32 emulation
+            ab = jax.lax.dot_general(
+                x,
+                a_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [T, Cp]
+            r2 = jnp.maximum(x2 + b2_ref[0, :][None, :] - 2.0 * ab, 0.0)
         K = kvar * _stationary(kind, r2)  # [T, Cp]
         k_hi, k_lo = _split_hi_lo(K)
         mean_ref[:] = _dot3(k_hi, k_lo, al_hi_ref[:], al_lo_ref[:]) + mean_const
