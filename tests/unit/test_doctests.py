@@ -19,6 +19,7 @@ DOCTEST_MODULES = (
     "trieste_tpu.acquisition.optimizer",
     "trieste_tpu.acquisition.multi_objective.pareto",
     "trieste_tpu.models.gp.builders",
+    "trieste_tpu.models.gp.likelihoods",
 )
 
 

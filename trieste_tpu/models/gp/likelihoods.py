@@ -15,6 +15,24 @@ Each likelihood provides:
 
 Shapes: ``mean``/``var``/``y`` are ``[..., 1]`` column vectors; the returned
 expectations match.
+
+Examples:
+
+>>> import jax.numpy as jnp
+>>> from trieste_tpu.models.gp.likelihoods import (
+...     BernoulliLikelihood, GaussianLikelihood, PoissonLikelihood)
+>>> g = GaussianLikelihood(variance=jnp.asarray(0.25))
+>>> mean, var = g.predict_y(jnp.array([[1.0]]), jnp.array([[0.1]]))
+>>> float(var[0, 0])  # latent variance plus observation noise
+0.35
+>>> p = PoissonLikelihood()
+>>> rate, _ = p.predict_y(jnp.array([[0.0]]), jnp.array([[0.0]]))
+>>> float(rate[0, 0])  # rate = exp(mean + var/2)
+1.0
+>>> b = BernoulliLikelihood()
+>>> prob, _ = b.predict_y(jnp.array([[0.0]]), jnp.array([[1.0]]))
+>>> float(prob[0, 0])  # Phi(0 / sqrt(2)) = 0.5
+0.5
 """
 from __future__ import annotations
 
