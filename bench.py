@@ -173,17 +173,18 @@ def _production_shape_ms(key, D, dtype):
 
     Roofline (why achieved < chip peak is physics, not headroom):
     - **MXU bound**: the kernel's precision scheme multiplies the executed MXU work —
-      the mean/variance contractions run as a 3-pass bf16-split (module docstring of
-      ``ops/fused_predict.py``) and the r² matmul as 6-pass f32 emulation, so the MXU
-      executes ``2·N·Cp·(3·Cp + 3·P + 6·D)`` MACs-worth of bf16 work. Dividing by the
-      chip bf16 peak (TPU v5e: **197 TFLOP/s** — 394 is the int8 figure) gives the
-      MXU-bound time.
+      the variance contraction runs as a 3-pass bf16-split (module docstring of
+      ``ops/fused_predict.py``) and the r² matmul as 6-pass f32 emulation (the mean
+      is a VPU reduction, off the MXU entirely), so the MXU executes
+      ``2·N·Cp·(3·Cp + 6·D)`` MACs-worth of bf16 work. Dividing by the chip bf16
+      peak (TPU v5e: **197 TFLOP/s** — 394 is the int8 figure) gives the MXU-bound
+      time.
     - **HBM bound**: per call only the candidate tile streams in and (mean, var) out
       (all training-side operands are VMEM-resident across the grid): ``4·N·(D+2)``
       bytes at ~819 GB/s (v5e).
     The attainable time is the max of the two; at this shape the kernel is ~1000×
     MXU-bound, so ``attainable_tflops = useful_flops / mxu_bound_time`` ≈ peak/3 ·
-    (C+D+P)/(3C+3P+6D) — the 3-pass split is the ceiling, not scheduling."""
+    (C+D+P)/(3C+6D) — the 3-pass split is the ceiling, not scheduling."""
     import jax
     import jax.numpy as jnp
     from jax.tree_util import Partial
@@ -223,7 +224,7 @@ def _production_shape_ms(key, D, dtype):
     P = 1
     Cp = -(-n_train // 128) * 128  # lane-aligned capacity actually launched
     useful_flops = 2.0 * n_eval * n_train * (n_train + D + P)
-    mxu_flops = 2.0 * n_eval * Cp * (3 * Cp + 3 * P + 6 * D)
+    mxu_flops = 2.0 * n_eval * Cp * (3 * Cp + 6 * D)
     bf16_peak_tflops = 197.0  # TPU v5e bf16 peak (394 TOPS is the int8 figure)
     hbm_gb_per_s = 819.0  # TPU v5e HBM bandwidth
     hbm_bytes = 4.0 * n_eval * (D + P + 1)  # candidates in, (mean, var) out

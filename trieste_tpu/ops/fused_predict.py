@@ -27,19 +27,20 @@ bf16-grade, ~1e-2 relative — unusable everywhere here):
 
 - **r² matmul** (depth D, tiny): ``Precision.HIGHEST`` (6-pass f32 emulation) — the
   ``|x|² + |X|² − 2x·X`` form cancels catastrophically.
-- **mean = K·α** and **v = K·L⁻ᵀ** (the FLOPs hot spot): manual **3-pass bf16-split**
+- **mean = K·α**: an exact **f32 VPU row reduction** per output column (round 4; the
+  earlier 3-pass bf16 matvec padded its P output columns to the MXU's 128 lanes —
+  ~9% of executed MXU work at C=1024 for P=1 — and was *less* accurate).
+- **v = K·L⁻ᵀ** (the FLOPs hot spot): manual **3-pass bf16-split**
   (``a·b ≈ aₕbₕ + aₕbₗ + aₗbₕ``; Pallas-TPU has no ``Precision.HIGH``). Any 2-way
   bf16 split represents its operands to only 16 mantissa bits, so this is a
-  ~2⁻¹⁶·‖K‖‖α‖ / ~2⁻¹⁶·‖K‖‖L⁻ᵀ‖ contract (~1e-3 mean, ~1e-2 variance absolute for
-  ill-conditioned posteriors). That is the same order as the f32 XLA path's own
-  conditioning error vs f64, and acceptable **because this kernel only serves
-  candidate-pool scoring**: the small refinement batches inside L-BFGS fall under
-  ``MIN_POINTS`` and take the exact XLA path, as do all gradients. Full HIGHEST on
-  these contractions made the kernel slower than unfused XLA (2.3 vs 1.85 ms at C=256;
-  12.4 vs 11.7 ms at C=1024 — no reason to fuse); HIGHEST on just the mean (narrow
-  output, looks free) still cost ~30% because the compiler re-splits all of K 3-way.
-  The hi/lo splits of ``α`` and ``L⁻ᵀ`` are computed in-graph at each traced call of
-  :func:`fused_predict_f` (XLA hoists/fuses them; the cost is O(C²), negligible next to
+  ~2⁻¹⁶·‖K‖‖L⁻ᵀ‖ contract (~1e-2 variance absolute for ill-conditioned posteriors).
+  That is the same order as the f32 XLA path's own conditioning error vs f64, and
+  acceptable **because this kernel only serves candidate-pool scoring**: the small
+  refinement batches inside L-BFGS fall under ``MIN_POINTS`` and take the exact XLA
+  path, as do all gradients. Full HIGHEST on this contraction made the kernel slower
+  than unfused XLA (2.3 vs 1.85 ms at C=256; 12.4 vs 11.7 ms at C=1024 — no reason to
+  fuse). The hi/lo split of ``L⁻ᵀ`` is computed in-graph at each traced call of
+  :func:`fused_predict_f` (XLA hoists/fuses it; the cost is O(C²), negligible next to
   the O(N·C²) kernel); ``K`` is split per tile in VMEM.
 
 Measured on v5e (N=131072, D=6, round-4 tile model): 1.06 ms vs 1.85 ms unfused XLA
@@ -131,14 +132,14 @@ def _dot3(k_hi, k_lo, b_hi, b_lo):
     return d(k_hi, b_hi) + d(k_hi, b_lo) + d(k_lo, b_hi)
 
 
-def _make_kernel(kind: str):
+def _make_kernel(kind: str, P: int):
     def kernel(
-        x_ref, a_ref, b2_ref, al_hi_ref, al_lo_ref, lt_hi_ref, lt_lo_ref, scal_ref,
+        x_ref, a_ref, b2_ref, al_ref, lt_hi_ref, lt_lo_ref, scal_ref,
         mean_ref, var_ref,
     ):
         # x_ref: [T, D] candidate tile pre-scaled by 1/lengthscales
         # a_ref: [Cp, D] training inputs pre-scaled; b2_ref: [1, Cp] their sq. norms
-        # al_*: [Cp, P] bf16 hi/lo of alpha; lt_*: [Cp, Cp] bf16 hi/lo of masked (L⁻¹)ᵀ
+        # al_ref: [P, Cp] f32 alpha rows; lt_*: [Cp, Cp] bf16 hi/lo of masked (L⁻¹)ᵀ
         # scal_ref: [1, 2] SMEM (signal variance, mean constant)
         x = x_ref[:]
         kvar = scal_ref[0, 0]
@@ -170,8 +171,16 @@ def _make_kernel(kind: str):
             )  # [T, Cp]
             r2 = jnp.maximum(x2 + b2_ref[0, :][None, :] - 2.0 * ab, 0.0)
         K = kvar * _stationary(kind, r2)  # [T, Cp]
+        # mean on the VPU: an exact f32 row reduction per output column. The MXU
+        # alternative pads the [T,Cp]@[Cp,P] matvec's P output columns to 128 lanes
+        # and (bf16-split) runs 3 passes — ~9% of the kernel's executed MXU work at
+        # Cp=1024 for P=1; the VPU reduction is both cheaper and exactly f32.
+        cols = [
+            jnp.sum(K * al_ref[p, :][None, :], axis=-1, keepdims=True)
+            for p in range(P)
+        ]
+        mean_ref[:] = (cols[0] if P == 1 else jnp.concatenate(cols, axis=-1)) + mean_const
         k_hi, k_lo = _split_hi_lo(K)
-        mean_ref[:] = _dot3(k_hi, k_lo, al_hi_ref[:], al_lo_ref[:]) + mean_const
         v = _dot3(k_hi, k_lo, lt_hi_ref[:], lt_lo_ref[:])  # [T, Cp]
         quad = jnp.sum(v * v, axis=-1, keepdims=True)  # [T, 1]
         var_ref[:] = jnp.maximum(kvar - quad, 1e-24)
@@ -214,6 +223,8 @@ def can_fuse(params, cache, flat: jax.Array) -> bool:
         return False
     if flat.ndim != 2 or cache.X.ndim != 2 or cache.alpha.ndim != 2:
         return False
+    if cache.alpha.shape[-1] > 8:
+        return False  # the VPU mean reduction unrolls over output columns
     if kernel.variance.ndim != 0 or kernel.lengthscales.ndim > 1:
         return False
     if _is_batch_traced(flat, cache.X, cache.alpha, kernel.variance, kernel.lengthscales):
@@ -260,7 +271,7 @@ def fused_predict_f(params, cache, flat: jax.Array) -> Tuple[jax.Array, jax.Arra
         alpha = jnp.pad(alpha, ((0, Cp - C), (0, 0)))
         LinvT = jnp.pad(LinvT, ((0, Cp - C), (0, Cp - C)))
 
-    al_hi, al_lo = _split_hi_lo(alpha)
+    al_rows = alpha.T  # [P, Cp] f32 — consumed by the VPU mean reduction
     lt_hi, lt_lo = _split_hi_lo(LinvT)
 
     tile = _tile_for(Cp)
@@ -275,14 +286,13 @@ def fused_predict_f(params, cache, flat: jax.Array) -> Tuple[jax.Array, jax.Arra
 
     grid = (Np // tile,)
     mean, var = pl.pallas_call(
-        _make_kernel(params.kernel.kind),
+        _make_kernel(params.kernel.kind, P),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cp, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cp, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cp, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cp, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cp, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -296,12 +306,12 @@ def fused_predict_f(params, cache, flat: jax.Array) -> Tuple[jax.Array, jax.Arra
             jax.ShapeDtypeStruct((Np, 1), f32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Np * Cp * (6 * D + 3 * P + 3 * Cp) + 8 * Np * Cp,
+            flops=2 * Np * Cp * (6 * D + P + 3 * Cp) + 8 * Np * Cp,
             bytes_accessed=4 * (Np * D + Cp * (D + P + Cp) + Np * (P + 1)),
             transcendentals=Np * Cp,
         ),
         interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
-    )(xs, A, b2, al_hi, al_lo, lt_hi, lt_lo, scal)
+    )(xs, A, b2, al_rows, lt_hi, lt_lo, scal)
 
     mean = mean[:N]
     var = jnp.broadcast_to(var[:N], (N, P))
