@@ -260,3 +260,59 @@ def test_partially_nan_acquisition_recovers_via_seed_union(key):
     got = opt(space, patchy_acq, key=key)
     assert bool(jnp.all(jnp.isfinite(got)))
     np.testing.assert_allclose(np.asarray(got), [[0.25]], atol=5e-3)
+
+
+def test_random_search_optimizer_validation():
+    with pytest.raises(ValueError):
+        generate_random_search_optimizer(num_samples=0)
+
+
+def test_vectorization_must_divide_subspaces(key):
+    """A vectorized function over a TaggedMultiSearchSpace must have V divisible by
+    the number of subspaces (reference ``optimizer.py:939-970``)."""
+    space = TaggedMultiSearchSpace([Box([0.0], [1.0]), Box([0.0], [1.0])])
+    opt = generate_continuous_optimizer(num_initial_samples=32, num_optimization_runs=4)
+
+    def vec_acq(x):
+        return -jnp.sum((x - 0.5) ** 2, axis=-1)
+
+    with pytest.raises(ValueError, match="multiple"):
+        opt(space, (vec_acq, 3), key=key)
+
+
+def test_more_runs_than_seeds_is_clamped(key):
+    """num_optimization_runs > num_initial_samples degrades gracefully (R = min(R, N))."""
+    space = Box([0.0], [1.0])
+    opt = generate_continuous_optimizer(num_initial_samples=8, num_optimization_runs=64)
+    got = opt(space, _neg_quadratic_about([0.4]), key=key)
+    np.testing.assert_allclose(np.asarray(got), [[0.4]], atol=1e-4)
+
+
+def test_automatic_selector_handles_mixed_product(key):
+    """The automatic selector runs the continuous optimizer with discrete dims frozen
+    for a mixed product space (reference ``optimizer.py:90-121,748-894``)."""
+    space = TaggedProductSearchSpace(
+        [Box([0.0], [1.0]), DiscreteSearchSpace(jnp.array([[0.0], [1.0]]))]
+    )
+
+    def acq(x):
+        x = jnp.asarray(x)[..., 0, :]
+        return (-((x[..., 0] - 0.6) ** 2) - (x[..., 1] - 1.0) ** 2)[..., None]
+
+    got = automatic_optimizer_selector(space, acq, key=key)
+    assert float(got[0, 1]) in (0.0, 1.0)  # discrete member value
+    np.testing.assert_allclose(float(got[0, 0]), 0.6, atol=0.05)
+    assert bool(space.contains(got[0]))
+
+
+def test_vectorized_slices_get_distinct_keys(key):
+    """Each vectorized slice samples its own seeds: slices with identical objectives
+    still return (near-)identical optima, not copies of one slice's noise."""
+    space = Box([0.0], [1.0])
+    opt = generate_continuous_optimizer(num_initial_samples=128, num_optimization_runs=4)
+
+    def vec_acq(x):  # two identical slices
+        return -jnp.sum((x - 0.25) ** 2, axis=-1)
+
+    got = opt(space, (vec_acq, 2), key=key)
+    np.testing.assert_allclose(np.asarray(got), 0.25, atol=1e-4)
