@@ -489,3 +489,56 @@ def test_ask_tell_key_advances_between_asks(space, model, dataset):
     a = np.asarray(opt.ask())
     b = np.asarray(opt.ask())
     assert not np.array_equal(a, b)
+
+
+# ------------------------------------------------------------------ EGO greedy path
+
+
+def test_ego_greedy_batch_returns_diverse_points(space, model, dataset):
+    """The greedy loop feeds accumulated pending points back into the builder, so a
+    penalizing builder yields B distinct locations (reference ``rule.py:371-399``)."""
+    from trieste_tpu.acquisition.function.greedy_batch import LocalPenalization
+
+    rule = EfficientGlobalOptimization(
+        builder=LocalPenalization(space, num_samples=64, key=jax.random.PRNGKey(0)),
+        optimizer=FAST_OPT,
+        num_query_points=3,
+    )
+    pts = rule.acquire(space, {OBJECTIVE: model}, {OBJECTIVE: dataset},
+                       key=jax.random.PRNGKey(0))
+    assert pts.shape == (3, 1)
+    flat = np.asarray(pts)[:, 0]
+    # pairwise distinct: penalization pushes later picks away from earlier ones
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert abs(flat[i] - flat[j]) > 1e-3, flat
+
+
+def test_ego_greedy_pending_points_see_earlier_choices(space, model, dataset):
+    """The builder receives exactly the previously chosen points as pending."""
+    from trieste_tpu.acquisition.interface import (
+        AcquisitionFunction,
+        GreedyAcquisitionFunctionBuilder,
+    )
+
+    seen = []
+
+    class RecordingBuilder(GreedyAcquisitionFunctionBuilder):
+        def prepare_acquisition_function(self, models, datasets=None, pending_points=None):
+            seen.append(None if pending_points is None else np.asarray(pending_points))
+            return lambda x: -jnp.sum(jnp.asarray(x)[..., 0, :] ** 2, -1, keepdims=True)
+
+        def update_acquisition_function(self, function, models, datasets=None,
+                                        pending_points=None, new_optimization_step=True):
+            seen.append(None if pending_points is None else np.asarray(pending_points))
+            return function
+
+    rule = EfficientGlobalOptimization(
+        builder=RecordingBuilder(), optimizer=FAST_OPT, num_query_points=3
+    )
+    pts = rule.acquire(space, {OBJECTIVE: model}, {OBJECTIVE: dataset},
+                       key=jax.random.PRNGKey(0))
+    assert pts.shape == (3, 1)
+    assert seen[0] is None  # first optimization has no pending points
+    assert seen[1].shape == (1, 1) and seen[2].shape == (2, 1)
+    np.testing.assert_allclose(seen[2][0], seen[1][0])  # accumulation, not replacement
