@@ -149,6 +149,35 @@ def communication_model(results: dict, num_devices_list) -> dict:
                 }
             )
         model[name] = entries
+
+    # The fused Pallas scoring kernel (trieste_tpu/ops/fused_predict.py) composes with
+    # the mesh via jax.shard_map over the candidate axis: each chip scores its local
+    # pool shard (per-device compute measured on the real chip — BENCH_r0N.json fused
+    # row: ~5.6 ms for a 131072-candidate, C=1024 pool), and the ONLY collective is the
+    # all-gather of the 1-D f32 score vector feeding the global top-k (asserted against
+    # the compiled HLO in tests/unit/test_fused_predict.py: the pool and every [N, C]
+    # kernel intermediate stay sharded). Weak scaling: global scores = d · 131072 · 4 B.
+    fused_per_dev_pool = 131072
+    fused_t_compute = 5.64e-3  # measured v5e per-chip fused call at this shape
+    entries = []
+    for nd in num_devices_list:
+        import math
+
+        payload_bytes = int((nd - 1) / nd * nd * fused_per_dev_pool * 4) if nd > 1 else 0
+        hops = max(math.ceil(math.log2(nd)), 0)
+        t_collective = payload_bytes / ici_bytes_per_s + hops * ici_hop_latency_s
+        entries.append(
+            {
+                "devices": nd,
+                "per_device_pool": fused_per_dev_pool,
+                "collective_bytes": payload_bytes,
+                "predicted_collective_seconds": t_collective,
+                "predicted_tpu_efficiency": round(
+                    fused_t_compute / (fused_t_compute + t_collective), 6
+                ),
+            }
+        )
+    model["fused_scoring"] = entries
     return model
 
 

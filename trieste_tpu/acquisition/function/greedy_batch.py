@@ -175,34 +175,148 @@ class LocalPenalization(SingleModelGreedyAcquisitionBuilder):
 # ---------------------------------------------------------------------------------
 
 
+def _broadcast_query(fn: Callable, query_points: jax.Array):
+    """Evaluate ``fn`` (rank-2 queries only) at ``[...*, N, D]`` queries by vmapping over
+    the flattened query leading dims and restoring them on every output leaf — the JAX
+    form of the reference's ``_broadcast_predict``/``_get_leading_dim_and_flatten``/
+    ``_restore_leading_dim`` trio (``greedy_batch.py:826-897``)."""
+    qp = jnp.asarray(query_points)
+    if qp.ndim == 2:
+        return fn(qp)
+    lead = qp.shape[:-2]
+    flat = jnp.reshape(qp, (-1,) + qp.shape[-2:])  # [B, N, D]
+    out = jax.vmap(fn)(flat)
+    return jax.tree_util.tree_map(lambda a: jnp.reshape(a, lead + a.shape[1:]), out)
+
+
 class _FantasizedModel:
     """A model view conditioned on fantasy data, delegating to the base model's
     closed-form conditional predictions (reference ``_fantasized_model``,
-    ``greedy_batch.py:630-826``)."""
+    ``greedy_batch.py:630-826``).
 
-    def __init__(self, model: FastUpdateModel, fantasy_data: Dataset):
+    Fantasy data may carry **leading batch dimensions** (``fantasy_X: [..., M, D]``,
+    ``fantasy_Y: [..., M, P]``) and query points arbitrary leading dims
+    (``[...*, N, D]``); predictions broadcast to ``[...*, ..., N, P]`` — query leading
+    dims first, then fantasy leading dims, exactly the reference's shape contract
+    (``greedy_batch.py:714-826``). This is what lets fantasized acquisitions compose
+    with ``batchify_vectorize``-style vectorized optimization: each fantasy batch is an
+    independently conditioned posterior, evaluated in one vmapped device program. The
+    batch-rank path requires a model exposing raw ``params``/``posterior_cache`` (exact
+    GPR); other ``FastUpdateModel``s get the flat-fantasy Dataset path.
+    """
+
+    def __init__(
+        self,
+        model: FastUpdateModel,
+        fantasy_data: Optional[Dataset] = None,
+        *,
+        fantasy_X: Optional[TensorType] = None,
+        fantasy_Y: Optional[TensorType] = None,
+    ):
         self._model = model
-        self._fantasy_data = fantasy_data
+        if fantasy_data is not None:
+            self._fantasy_data = fantasy_data
+            self._fx = fantasy_data.trimmed_query_points
+            self._fy = fantasy_data.trimmed_observations
+        else:
+            if fantasy_X is None or fantasy_Y is None:
+                raise ValueError("provide fantasy_data or both fantasy_X and fantasy_Y")
+            self._fantasy_data = None
+            self._fx = jnp.asarray(fantasy_X)
+            self._fy = jnp.asarray(fantasy_Y)
+            if self._fx.ndim == 2:
+                self._fantasy_data = Dataset.from_arrays(
+                    self._fx, self._fy, capacity=self._fx.shape[0]
+                )
+
+    def _closed_form(self) -> bool:
+        return hasattr(self._model, "params") and hasattr(self._model, "posterior_cache")
+
+    def _flat_fantasy_dataset(self) -> Dataset:
+        if self._fantasy_data is None:
+            raise NotImplementedError(
+                "fantasy data with leading batch dimensions requires a model with raw "
+                "params/posterior_cache (exact GPR)"
+            )
+        return self._fantasy_data
 
     def predict(self, query_points: TensorType):
-        return self._model.conditional_predict_f(query_points, self._fantasy_data)
+        if self._closed_form():
+            from ...models.gp.posterior import conditional_predict_f
+
+            return _broadcast_query(
+                Partial(
+                    conditional_predict_f,
+                    self._model.params,
+                    self._model.posterior_cache,
+                    extra_X=self._fx,
+                    extra_Y=self._fy,
+                ),
+                query_points,
+            )
+        return self._model.conditional_predict_f(query_points, self._flat_fantasy_dataset())
 
     def predict_joint(self, query_points: TensorType):
-        return self._model.conditional_predict_joint(query_points, self._fantasy_data)
+        if self._closed_form():
+            from ...models.gp.posterior import conditional_predict_joint
+
+            return _broadcast_query(
+                Partial(
+                    conditional_predict_joint,
+                    self._model.params,
+                    self._model.posterior_cache,
+                    extra_X=self._fx,
+                    extra_Y=self._fy,
+                ),
+                query_points,
+            )
+        return self._model.conditional_predict_joint(
+            query_points, self._flat_fantasy_dataset()
+        )
 
     def predict_y(self, query_points: TensorType):
-        return self._model.conditional_predict_y(query_points, self._fantasy_data)
+        if self._closed_form():
+            from ...models.gp.posterior import conditional_predict_y
+
+            return _broadcast_query(
+                Partial(
+                    conditional_predict_y,
+                    self._model.params,
+                    self._model.posterior_cache,
+                    extra_X=self._fx,
+                    extra_Y=self._fy,
+                ),
+                query_points,
+            )
+        return self._model.conditional_predict_y(query_points, self._flat_fantasy_dataset())
+
+    def sample(self, key: jax.Array, query_points: TensorType, num_samples: int):
+        """Conditioned joint samples ``[...*, ..., S, N, P]`` (reference
+        ``greedy_batch.py:772-800``)."""
+        if self._closed_form():
+            from ...models.gp.posterior import conditional_predict_f_sample
+
+            def one(q: jax.Array) -> jax.Array:
+                return conditional_predict_f_sample(
+                    key, self._model.params, self._model.posterior_cache, q,
+                    self._fx, self._fy, num_samples,
+                )
+
+            return _broadcast_query(one, query_points)
+        return self._model.conditional_predict_f_sample(
+            key, query_points, self._flat_fantasy_dataset(), num_samples
+        )
 
     def predict_partial(self):
-        if hasattr(self._model, "params") and hasattr(self._model, "posterior_cache"):
+        if self._closed_form():
             from ...models.gp.posterior import conditional_predict_f
 
             return Partial(
                 conditional_predict_f,
                 self._model.params,
                 self._model.posterior_cache,
-                extra_X=self._fantasy_data.trimmed_query_points,
-                extra_Y=self._fantasy_data.trimmed_observations,
+                extra_X=self._fx,
+                extra_Y=self._fy,
             )
         return self.predict
 

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..logging import scalar
+from ..logging import deferred_scalar, scalar
 from ..parallel.mesh import current_pool_sharding, round_to_mesh
 from ..space import (
     Box,
@@ -332,7 +332,10 @@ def generate_continuous_optimizer(
             pool_sharding=pool_sharding, residual_fn=residual_fn,
         )
         scalar("spo_af_evaluations", N + R * max_iters)
-        scalar("spo_improvement_on_initial_samples", lambda: float(jnp.sum(improvement)))
+        # deferred: keeps the device fetch of ``improvement`` out of the optimize path
+        deferred_scalar(
+            "spo_improvement_on_initial_samples", lambda: float(jnp.sum(improvement))
+        )
 
         # recovery runs (reference ``optimizer.py:461-530``): when some slice found no
         # finite value over its seeds and runs (e.g. the model NaNs over most of the

@@ -216,10 +216,10 @@ class EfficientGlobalOptimization(
                 self._acquisition_function, models, datasets
             )
         points = self._optimizer(search_space, self._acquisition_function, key=key)
-        from ..logging import get_tensorboard_writer, histogram
+        from ..logging import deferred_histogram
 
-        if get_tensorboard_writer() is not None:
-            histogram("EGO.query_points", lambda: np.asarray(points))
+        # deferred: the fetch happens at the loop's per-step flush, not mid-acquire
+        deferred_histogram("EGO.query_points", lambda: np.asarray(points))
         return points
 
     def _acquire_greedy(

@@ -259,6 +259,11 @@ class AskTellOptimizerABC(ABC, Generic[StateType]):
         self._filtered_datasets = dict(filtered)
         for tag, model in self._models.items():
             self.update_model(model, self._dataset_for_tag(tag))
+        from .logging import flush_deferred_summaries
+
+        # drain hot-path summaries queued during ask(): tell() already synchronizes
+        # with the device through the new observations, so this adds no extra fetch
+        flush_deferred_summaries()
 
 
 class AskTellOptimizer(AskTellOptimizerABC[StateType]):

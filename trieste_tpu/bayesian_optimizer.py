@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data import Dataset
-from .logging import get_tensorboard_writer, scalar, set_step_number, text
+from .logging import (
+    flush_deferred_summaries,
+    get_tensorboard_writer,
+    scalar,
+    set_step_number,
+    text,
+)
 from .models.interfaces import ProbabilisticModel, TrainableProbabilisticModel
 from .observer import OBJECTIVE, Observer
 from .space import SearchSpace
@@ -393,6 +399,10 @@ class BayesianOptimizer(Generic[StateType]):
                         query_point_generation_timer.time,
                     )
                     scalar("wallclock/observation", observation_timer.time)
+                    # drain hot-path summaries queued during acquire/optimize: the
+                    # device values they fetch are already resolved by the observer
+                    # round-trip, so this adds no extra sync
+                    flush_deferred_summaries()
 
         except Exception as error:  # noqa: BLE001
             tb = traceback.format_exc()

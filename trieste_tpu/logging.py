@@ -107,8 +107,11 @@ def make_summary_writer(logdir: str, prefer_tensorboard: bool = True) -> Any:
 
 
 def set_tensorboard_writer(writer: Optional[Any]) -> None:
-    """Set the global summary writer (reference ``logging.py:31-41``)."""
+    """Set the global summary writer (reference ``logging.py:31-41``). Any deferred
+    summaries queued against the outgoing writer are flushed to it first."""
     global _WRITER
+    if _WRITER is not None and _WRITER is not writer:
+        flush_deferred_summaries()
     _WRITER = writer
 
 
@@ -166,6 +169,58 @@ def include_summary(name: str) -> bool:
 
 def _evaluate(value: Union[float, Callable[[], Any]]) -> Any:
     return value() if callable(value) else value
+
+
+# -- deferred summaries ---------------------------------------------------------------
+#
+# On-device hot paths (acquisition optimization, rule.acquire) must not force a
+# device→host fetch mid-step just to feed TensorBoard: over a remote dispatch link one
+# scalar round-trip can cost more than the compute it reports on. ``deferred_scalar``/
+# ``deferred_histogram`` enqueue the closure WITHOUT evaluating it; the BO loop / Ask-
+# Tell driver calls :func:`flush_deferred_summaries` once per step, at a point where the
+# host is already synchronizing with the device (after the observer fetch). Extends the
+# reference's closure-deferred wrappers (``logging.py:158-227``), which defer only past
+# the filter check, not past the device fetch.
+
+_DEFERRED: list = []
+
+
+def deferred_scalar(
+    name: str, value: Union[float, Callable[[], float]], **kwargs: Any
+) -> None:
+    """Queue a scalar summary; its closure is evaluated (and any device value fetched)
+    only at the next :func:`flush_deferred_summaries`. No-op (closure never evaluated)
+    when no writer is set or the filter excludes ``name``."""
+    if _WRITER is None or not include_summary(name):
+        return
+    _DEFERRED.append(("scalar", name, value, _STEP, kwargs))
+
+
+def deferred_histogram(
+    name: str, values: Union[Any, Callable[[], Any]], **kwargs: Any
+) -> None:
+    """Histogram variant of :func:`deferred_scalar`."""
+    if _WRITER is None or not include_summary(name):
+        return
+    _DEFERRED.append(("histogram", name, values, _STEP, kwargs))
+
+
+def flush_deferred_summaries() -> None:
+    """Evaluate and write all queued deferred summaries (errors swallowed per entry,
+    like the eager wrappers). Writes use the step number captured at enqueue time."""
+    global _DEFERRED
+    pending, _DEFERRED = _DEFERRED, []
+    if _WRITER is None:
+        return
+    for kind, name, value, step, kwargs in pending:
+        try:
+            v = _evaluate(value)
+            if kind == "scalar":
+                _WRITER.add_scalar(name, float(np.asarray(v)), step, **kwargs)
+            else:
+                _WRITER.add_histogram(name, np.asarray(v), step, **kwargs)
+        except Exception as e:  # noqa: BLE001
+            print(f"failed to log {kind} {name}: {e}")
 
 
 def scalar(name: str, value: Union[float, Callable[[], float]], **kwargs: Any) -> None:

@@ -242,51 +242,19 @@ def can_fuse(params, cache, flat: jax.Array) -> bool:
     return jax.default_backend() == "tpu" or FORCE_INTERPRET
 
 
-def fused_predict_f(params, cache, flat: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """``flat [N, D] -> (mean [N, P], var [N, P])`` — forward-only fused prediction.
-
-    Call only when :func:`can_fuse` holds.
-    """
+def _launch(kind: str, P: int, tile: int, xs, A, b2, al_rows, lt_hi, lt_lo, scal):
+    """One ``pallas_call`` over ``xs.shape[0] // tile`` candidate tiles. Under a pool
+    mesh this runs per-device inside ``shard_map`` on the local shard; standalone it is
+    the whole launch."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N, D = flat.shape
-    C = cache.X.shape[0]
-    P = cache.alpha.shape[-1]
+    Np, D = xs.shape
+    Cp = A.shape[0]
     f32 = jnp.float32
-
-    ls = jnp.broadcast_to(jnp.atleast_1d(params.kernel.lengthscales), (D,)).astype(f32)
-    m = cache.mask.astype(f32)
-    A = (cache.X * m[:, None]) / ls  # zeroed padded rows keep their norms at 0
-    b2 = jnp.sum(A * A, axis=-1)[None, :]  # [1, C]
-    alpha = cache.alpha.astype(f32)
-    LinvT = cache.LinvT.astype(f32)
-
-    # pad training capacity to the f32 lane tile so every matmul is MXU-aligned;
-    # zero padding is inert (see module docstring)
-    Cp = -(-C // 128) * 128
-    if Cp != C:
-        A = jnp.pad(A, ((0, Cp - C), (0, 0)))
-        b2 = jnp.pad(b2, ((0, 0), (0, Cp - C)))
-        alpha = jnp.pad(alpha, ((0, Cp - C), (0, 0)))
-        LinvT = jnp.pad(LinvT, ((0, Cp - C), (0, Cp - C)))
-
-    al_rows = alpha.T  # [P, Cp] f32 — consumed by the VPU mean reduction
-    lt_hi, lt_lo = _split_hi_lo(LinvT)
-
-    tile = _tile_for(Cp)
-    Np = -(-N // tile) * tile
-    xs = flat / ls
-    if Np != N:
-        xs = jnp.pad(xs, ((0, Np - N), (0, 0)))
-
-    scal = jnp.stack(
-        [params.kernel.variance.astype(f32), params.mean_constant.astype(f32)]
-    )[None, :]  # [1, 2]
-
     grid = (Np // tile,)
-    mean, var = pl.pallas_call(
-        _make_kernel(params.kernel.kind, P),
+    return pl.pallas_call(
+        _make_kernel(kind, P),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -312,6 +280,98 @@ def fused_predict_f(params, cache, flat: jax.Array) -> Tuple[jax.Array, jax.Arra
         ),
         interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
     )(xs, A, b2, al_rows, lt_hi, lt_lo, scal)
+
+
+def _launch_tuple(kind, P, tile, *args):
+    mean, var = _launch(kind, P, tile, *args)
+    return mean, var
+
+
+def fused_predict_f(params, cache, flat: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """``flat [N, D] -> (mean [N, P], var [N, P])`` — forward-only fused prediction.
+
+    Call only when :func:`can_fuse` holds.
+
+    **Multi-chip composition.** ``pallas_call`` has no GSPMD partitioning rule, so under
+    an active pool mesh (:mod:`trieste_tpu.parallel.mesh`) a bare launch would force XLA
+    to all-gather the full candidate pool onto every device — exactly the sharding the
+    mesh exists to provide (reference greenlet engine this replaces:
+    ``acquisition/optimizer.py:566-745``). The kernel is embarrassingly parallel over
+    candidate tiles, so with a mesh active the launch is wrapped in ``jax.shard_map``
+    over the ``pool`` axis: each device runs the kernel on its local row shard with the
+    (small) model state replicated; no collectives are needed until the caller's
+    downstream ``top_k``. The candidate tile size is re-fit to the *local* shard so tiny
+    per-device shards don't pad up to the global tile.
+    """
+    N, D = flat.shape
+    C = cache.X.shape[0]
+    P = cache.alpha.shape[-1]
+    f32 = jnp.float32
+
+    ls = jnp.broadcast_to(jnp.atleast_1d(params.kernel.lengthscales), (D,)).astype(f32)
+    m = cache.mask.astype(f32)
+    A = (cache.X * m[:, None]) / ls  # zeroed padded rows keep their norms at 0
+    b2 = jnp.sum(A * A, axis=-1)[None, :]  # [1, C]
+    alpha = cache.alpha.astype(f32)
+    LinvT = cache.LinvT.astype(f32)
+
+    # pad training capacity to the f32 lane tile so every matmul is MXU-aligned;
+    # zero padding is inert (see module docstring)
+    Cp = -(-C // 128) * 128
+    if Cp != C:
+        A = jnp.pad(A, ((0, Cp - C), (0, 0)))
+        b2 = jnp.pad(b2, ((0, 0), (0, Cp - C)))
+        alpha = jnp.pad(alpha, ((0, Cp - C), (0, 0)))
+        LinvT = jnp.pad(LinvT, ((0, Cp - C), (0, Cp - C)))
+
+    al_rows = alpha.T  # [P, Cp] f32 — consumed by the VPU mean reduction
+    lt_hi, lt_lo = _split_hi_lo(LinvT)
+
+    scal = jnp.stack(
+        [params.kernel.variance.astype(f32), params.mean_constant.astype(f32)]
+    )[None, :]  # [1, 2]
+
+    xs = flat / ls
+    kind = params.kernel.kind
+
+    from ..parallel.mesh import POOL_AXIS, get_global_mesh
+
+    mesh = get_global_mesh()
+    if mesh is None or mesh.size == 1:
+        tile = _tile_for(Cp)
+        Np = -(-N // tile) * tile
+        if Np != N:
+            xs = jnp.pad(xs, ((0, Np - N), (0, 0)))
+        mean, var = _launch(kind, P, tile, xs, A, b2, al_rows, lt_hi, lt_lo, scal)
+    else:
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as PSpec
+
+        d = mesh.size
+        local = -(-N // d)
+        # fit the tile to the LOCAL shard: next pow2 ≥ local, clipped to the VMEM model
+        tile = min(_tile_for(Cp), max(256, 1 << max(local - 1, 1).bit_length()))
+        local_p = -(-local // tile) * tile
+        Np = local_p * d
+        if Np != N:
+            xs = jnp.pad(xs, ((0, Np - N), (0, 0)))
+        sharded_launch = jax.shard_map(
+            partial(_launch_tuple, kind, P, tile),
+            mesh=mesh,
+            in_specs=(
+                PSpec(POOL_AXIS, None),  # xs: rows sharded over the pool
+                PSpec(None, None),  # A
+                PSpec(None, None),  # b2
+                PSpec(None, None),  # al_rows
+                PSpec(None, None),  # lt_hi
+                PSpec(None, None),  # lt_lo
+                PSpec(None, None),  # scal
+            ),
+            out_specs=(PSpec(POOL_AXIS, None), PSpec(POOL_AXIS, None)),
+            check_vma=False,
+        )
+        mean, var = sharded_launch(xs, A, b2, al_rows, lt_hi, lt_lo, scal)
 
     mean = mean[:N]
     var = jnp.broadcast_to(var[:N], (N, P))
