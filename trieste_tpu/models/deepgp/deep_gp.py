@@ -34,12 +34,16 @@ from ..gp.training import NOISE_FLOOR
 
 @struct.dataclass
 class DGPLayerParams:
-    """One whitened SVGP layer: ``f(x) = mean_fn(x) + g(x)``, ``g ~ SVGP(q)``."""
+    """One whitened SVGP layer: ``f(x) = mean_fn(x) + g(x)``, ``g ~ SVGP(q)``.
+
+    ``q_sqrt`` is interpreted as a LOWER-TRIANGULAR Cholesky factor (gpflux
+    convention): every consumer applies ``jnp.tril`` so the KL's
+    ``2·Σ log|diag|`` log-det identity stays valid under free-matrix training."""
 
     kernel: Stationary
     inducing_points: jax.Array  # [M, d_in]
     q_mu: jax.Array  # [M, d_out]
-    q_sqrt: jax.Array  # [d_out, M, M]
+    q_sqrt: jax.Array  # [d_out, M, M] (lower triangle used)
 
 
 @struct.dataclass
@@ -60,7 +64,7 @@ def _layer_moments(
     Kux = gram(layer.kernel, Z, x)  # [M, N]
     A = jax.scipy.linalg.solve_triangular(L, Kux, lower=True)  # [M, N]
     mean = _mm(A.T, layer.q_mu)  # [N, d_out]
-    SA = jnp.einsum("pmk,mn->pkn", layer.q_sqrt, A)
+    SA = jnp.einsum("pmk,mn->pkn", jnp.tril(layer.q_sqrt), A)
     var = (
         layer.kernel.diag(x)[None, :]
         - jnp.sum(jnp.square(A), axis=0)[None, :]
@@ -117,10 +121,11 @@ def dgp_elbo(
     kl = jnp.asarray(0.0, X.dtype)
     for layer in params.layers:
         P, M, _ = layer.q_sqrt.shape
-        diag = jnp.diagonal(layer.q_sqrt, axis1=-2, axis2=-1)
+        S = jnp.tril(layer.q_sqrt)  # triangular representation invariant
+        diag = jnp.diagonal(S, axis1=-2, axis2=-1)
         kl += 0.5 * (
             jnp.sum(jnp.square(layer.q_mu))
-            + jnp.sum(jnp.square(layer.q_sqrt))
+            + jnp.sum(jnp.square(S))
             - M * P
             - 2.0 * jnp.sum(jnp.log(jnp.maximum(jnp.abs(diag), 1e-24)))
         )
