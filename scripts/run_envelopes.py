@@ -41,6 +41,9 @@ SLOW_BUDGETS = [
     ("ei", 20), ("nlcb", 25), ("qei", 20), ("monlcb", 30), ("dts", 25),
     ("async", 20), ("mes", 25), ("gibbon", 20), ("lp", 25), ("fantasizer", 20),
     ("pcts", 20), ("trego", 25), ("turbo", 30), ("batch-tr", 15),
+    # families beyond the reference's per-rule budget list (its envelope table stops at
+    # the 14 above); budgets chosen at the same generosity level
+    ("aei", 25), ("mcei", 25), ("gcts", 25),
 ]
 
 RTOL = 0.005

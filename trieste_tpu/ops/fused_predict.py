@@ -126,10 +126,23 @@ def _split_hi_lo(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
+# executed MXU passes of the bf16-split variance contraction. 3 (default) keeps the
+# ~2⁻¹⁶ contract documented above; 2 drops the lo·hi term (error ~2⁻¹¹·‖K‖‖L⁻ᵀ‖ —
+# a ~5e-4-relative variance contract, still far inside EI's seed-scoring needs for
+# well-conditioned pools) for a 1/3 cut of the kernel's dominant MXU work; 1 is
+# bf16-only (experimentation). Experiment knob — see scripts/kernel_breakdown.py.
+_V_PASSES = 3
+
+
 def _dot3(k_hi, k_lo, b_hi, b_lo):
-    """3-pass bf16-split matmul ≈ f32 (drops the lo·lo term, ~2⁻¹⁶ relative)."""
+    """bf16-split matmul ≈ f32: ``_V_PASSES`` MXU passes (3 drops only lo·lo, ~2⁻¹⁶)."""
     d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
-    return d(k_hi, b_hi) + d(k_hi, b_lo) + d(k_lo, b_hi)
+    acc = d(k_hi, b_hi)
+    if _V_PASSES >= 2:
+        acc = acc + d(k_hi, b_lo)
+    if _V_PASSES >= 3:
+        acc = acc + d(k_lo, b_hi)
+    return acc
 
 
 def _make_kernel(kind: str, P: int):
