@@ -173,18 +173,25 @@ def _production_shape_ms(key, D, dtype):
 
     Roofline (why achieved < chip peak is physics, not headroom):
     - **MXU bound**: the kernel's precision scheme multiplies the executed MXU work —
-      the variance contraction runs as a 3-pass bf16-split (module docstring of
-      ``ops/fused_predict.py``) and the r² matmul as 6-pass f32 emulation (the mean
-      is a VPU reduction, off the MXU entirely), so the MXU executes
-      ``2·N·Cp·(3·Cp + 6·D)`` MACs-worth of bf16 work. Dividing by the chip bf16
-      peak (TPU v5e: **197 TFLOP/s** — 394 is the int8 figure) gives the MXU-bound
-      time.
+      the variance contraction runs as a 3-pass bf16-split and the r² matmul as a
+      manual 3-pass bf16 split (the mean is a VPU reduction, off the MXU entirely),
+      so the MXU executes ``2·N·Cp·(3·Cp + 3·D)`` MACs-worth of bf16 work. Dividing
+      by the chip bf16 peak (TPU v5e: **197 TFLOP/s** — 394 is the int8 figure)
+      gives the MXU-bound time.
     - **HBM bound**: per call only the candidate tile streams in and (mean, var) out
       (all training-side operands are VMEM-resident across the grid): ``4·N·(D+2)``
       bytes at ~819 GB/s (v5e).
     The attainable time is the max of the two; at this shape the kernel is ~1000×
-    MXU-bound, so ``attainable_tflops = useful_flops / mxu_bound_time`` ≈ peak/3 ·
-    (C+D+P)/(3C+6D) — the 3-pass split is the ceiling, not scheduling."""
+    MXU-bound. The measured per-unit breakdown (``KERNEL_BREAKDOWN.json``,
+    ``scripts/kernel_breakdown.py``) shows the marginal MXU v-passes run at
+    **96-100% of this bound** (1.41/1.46 ms vs 1.395 ms); the residual ~1.4 ms of
+    the call is the per-tile *serialized VPU phase* (kernel evaluation, bf16 hi/lo
+    splits, mean/variance reductions — ~8 VPU ops per K element, itself near VPU
+    speed of light; the exp alone is only 0.056 ms of it). Sub-tile interleaving
+    and r²-pass reduction were measured to move the C=1024 call ≤1.3%, so against
+    the two-unit serialized roofline (MXU passes + VPU phase) the kernel achieves
+    ~93% — the gap to the MXU-only number below is the dependent VPU chain, not
+    scheduling slack."""
     import jax
     import jax.numpy as jnp
     from jax.tree_util import Partial
@@ -224,7 +231,7 @@ def _production_shape_ms(key, D, dtype):
     P = 1
     Cp = -(-n_train // 128) * 128  # lane-aligned capacity actually launched
     useful_flops = 2.0 * n_eval * n_train * (n_train + D + P)
-    mxu_flops = 2.0 * n_eval * Cp * (3 * Cp + 6 * D)
+    mxu_flops = 2.0 * n_eval * Cp * (3 * Cp + 3 * D)
     bf16_peak_tflops = 197.0  # TPU v5e bf16 peak (394 TOPS is the int8 figure)
     hbm_gb_per_s = 819.0  # TPU v5e HBM bandwidth
     hbm_bytes = 4.0 * n_eval * (D + P + 1)  # candidates in, (mean, var) out
@@ -249,6 +256,8 @@ def _production_shape_ms(key, D, dtype):
             "pct_of_attainable": round(100.0 * attainable_ms / ms, 1),
             "bf16_peak_tflops": bf16_peak_tflops,
             "hbm_gb_per_s": hbm_gb_per_s,
+            "per_unit_breakdown": "KERNEL_BREAKDOWN.json (measured: marginal MXU "
+            "v-passes at 96-100% of bound; residual = serialized VPU phase)",
         },
     }
 

@@ -76,7 +76,10 @@ def test_dispatch_uses_fused_and_grads_flow(interpreted_pallas):
 
     g = jax.grad(summary)(x)
     g_ref = jax.grad(summary_ref)(x)
-    np.testing.assert_allclose(g, g_ref, rtol=5e-3, atol=1e-4)
+    # the backward itself is the exact XLA path, but grad(sqrt(v)) weights the
+    # cotangent by 1/sqrt(v_forward) — the fused forward's bf16-split v (3-pass r²
+    # included) shifts that factor by its documented ~1e-3-absolute contract
+    np.testing.assert_allclose(g, g_ref, rtol=1e-2, atol=1e-3)
 
 
 def test_small_pools_and_f64_fall_back(interpreted_pallas):
@@ -195,9 +198,10 @@ def test_fused_sharded_matches_unsharded(interpreted_pallas, mesh8):
     np.testing.assert_allclose(var_s, var_u, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(mean_j), np.asarray(mean_s), rtol=1e-4, atol=1e-6)
     # and the bf16-split contract against the pure-XLA reference still holds
+    # (absolute tolerance per the documented ~1e-3 r²/variance contract)
     mean_r, var_r = predict_f_reference(params, cache, x)
     np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_r), rtol=1e-3, atol=3e-4)
-    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_r), rtol=5e-3, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_r), rtol=5e-3, atol=1e-3)
 
 
 def test_fused_under_mesh_pool_never_allgathered(interpreted_pallas, mesh8):

@@ -126,6 +126,12 @@ def _split_hi_lo(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
+# MXU passes of the r² cross-term: 3 (default) = manual bf16 split, error
+# ~2⁻¹⁶·Σ_d|x_d||a_d| ≈ 1e-3 absolute in r² — inside the variance path's own
+# contract, and half the time of 6 (= Precision.HIGHEST emulation; at depth D ≪ 128
+# every pass fills the whole systolic array, so passes are what cost, not FLOPs).
+_R2_PASSES = 3
+
 # executed MXU passes of the bf16-split variance contraction. 3 (default) keeps the
 # ~2⁻¹⁶ contract documented above; 2 drops the lo·hi term (error ~2⁻¹¹·‖K‖‖L⁻ᵀ‖ —
 # a ~5e-4-relative variance contract, still far inside EI's seed-scoring needs for
@@ -145,18 +151,18 @@ def _dot3(k_hi, k_lo, b_hi, b_lo):
     return acc
 
 
+# sub-tiles per candidate tile. 1 = single serialized chain (default). 2 splits the
+# tile in half and interleaves: half 1's VPU phase (exp, bf16 splits, mean reduction)
+# is emitted between half 0's MXU v-passes and their consumption, giving the scheduler
+# independent VPU work to overlap the MXU drain. Experiment knob (kernel_breakdown.py):
+# the ~1.4 ms serialized VPU tail at C=1024 is the residual after the v-passes run at
+# 96-100% of the MXU bound.
+_SUBTILES = 1
+
+
 def _make_kernel(kind: str, P: int):
-    def kernel(
-        x_ref, a_ref, b2_ref, al_ref, lt_hi_ref, lt_lo_ref, scal_ref,
-        mean_ref, var_ref,
-    ):
-        # x_ref: [T, D] candidate tile pre-scaled by 1/lengthscales
-        # a_ref: [Cp, D] training inputs pre-scaled; b2_ref: [1, Cp] their sq. norms
-        # al_ref: [P, Cp] f32 alpha rows; lt_*: [Cp, Cp] bf16 hi/lo of masked (L⁻¹)ᵀ
-        # scal_ref: [1, 2] SMEM (signal variance, mean constant)
-        x = x_ref[:]
-        kvar = scal_ref[0, 0]
-        mean_const = scal_ref[0, 1]
+    def _phase_k(x, a_ref, b2_ref, kvar):
+        """MXU r² + VPU kernel eval for a candidate sub-slice → K [Ts, Cp]."""
         D = x.shape[-1]
         Cp_k = a_ref.shape[0]
         if D <= 16 and Cp_k <= _ELEMENTWISE_MAX_CP:
@@ -174,29 +180,90 @@ def _make_kernel(kind: str, P: int):
                 r2 = r2 + diff * diff
         else:
             x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [T, 1]
-            # r² cancels catastrophically in this form → 6-pass f32 emulation
-            ab = jax.lax.dot_general(
-                x,
-                a_ref[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [T, Cp]
+            # r² cancels catastrophically in the |x|²+|a|²−2x·a form, so the cross
+            # term needs better-than-bf16 accuracy — but NOT the full 6-pass
+            # Precision.HIGHEST emulation: a manual 3-pass bf16 split bounds the
+            # error at ~2⁻¹⁶·Σ_d|x_d||a_d| (≲1e-3 absolute for lengthscale-
+            # normalized inputs), far inside the variance path's own bf16-split
+            # contract. Measured (scripts/kernel_breakdown.py + interleaved A/B):
+            # no change at C=1024 (the depth-6 passes pipeline into the big v
+            # contraction), +2.6% chained-EI throughput at C=128 where the r²
+            # passes are a larger share of the call.
+            a = a_ref[:]
+            if _R2_PASSES == 3:
+                x_hi, x_lo = _split_hi_lo(x)
+                a_hi, a_lo = _split_hi_lo(a)
+                dg = lambda p, q: jax.lax.dot_general(
+                    p, q,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ab = dg(x_hi, a_hi) + dg(x_hi, a_lo) + dg(x_lo, a_hi)  # [T, Cp]
+            else:
+                ab = jax.lax.dot_general(
+                    x, a,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             r2 = jnp.maximum(x2 + b2_ref[0, :][None, :] - 2.0 * ab, 0.0)
-        K = kvar * _stationary(kind, r2)  # [T, Cp]
-        # mean on the VPU: an exact f32 row reduction per output column. The MXU
-        # alternative pads the [T,Cp]@[Cp,P] matvec's P output columns to 128 lanes
-        # and (bf16-split) runs 3 passes — ~9% of the kernel's executed MXU work at
-        # Cp=1024 for P=1; the VPU reduction is both cheaper and exactly f32.
+        return kvar * _stationary(kind, r2)  # [Ts, Cp]
+
+    def _phase_mean_split(K, al_ref, mean_const):
+        """VPU: mean row-reduction + bf16 hi/lo split of K.
+
+        Mean on the VPU: an exact f32 row reduction per output column. The MXU
+        alternative pads the [T,Cp]@[Cp,P] matvec's P output columns to 128 lanes
+        and (bf16-split) runs 3 passes — ~9% of the kernel's executed MXU work at
+        Cp=1024 for P=1; the VPU reduction is both cheaper and exactly f32."""
         cols = [
             jnp.sum(K * al_ref[p, :][None, :], axis=-1, keepdims=True)
             for p in range(P)
         ]
-        mean_ref[:] = (cols[0] if P == 1 else jnp.concatenate(cols, axis=-1)) + mean_const
+        mean = (cols[0] if P == 1 else jnp.concatenate(cols, axis=-1)) + mean_const
         k_hi, k_lo = _split_hi_lo(K)
-        v = _dot3(k_hi, k_lo, lt_hi_ref[:], lt_lo_ref[:])  # [T, Cp]
-        quad = jnp.sum(v * v, axis=-1, keepdims=True)  # [T, 1]
-        var_ref[:] = jnp.maximum(kvar - quad, 1e-24)
+        return mean, k_hi, k_lo
+
+    def kernel(
+        x_ref, a_ref, b2_ref, al_ref, lt_hi_ref, lt_lo_ref, scal_ref,
+        mean_ref, var_ref,
+    ):
+        # x_ref: [T, D] candidate tile pre-scaled by 1/lengthscales
+        # a_ref: [Cp, D] training inputs pre-scaled; b2_ref: [1, Cp] their sq. norms
+        # al_ref: [P, Cp] f32 alpha rows; lt_*: [Cp, Cp] bf16 hi/lo of masked (L⁻¹)ᵀ
+        # scal_ref: [1, 2] SMEM (signal variance, mean constant)
+        kvar = scal_ref[0, 0]
+        mean_const = scal_ref[0, 1]
+        T = x_ref.shape[0]
+        S = _SUBTILES if (T % _SUBTILES == 0) else 1
+        if S == 1:
+            K = _phase_k(x_ref[:], a_ref, b2_ref, kvar)
+            mean, k_hi, k_lo = _phase_mean_split(K, al_ref, mean_const)
+            mean_ref[:] = mean
+            v = _dot3(k_hi, k_lo, lt_hi_ref[:], lt_lo_ref[:])  # [T, Cp]
+            quad = jnp.sum(v * v, axis=-1, keepdims=True)  # [T, 1]
+            var_ref[:] = jnp.maximum(kvar - quad, 1e-24)
+            return
+        # sub-tile interleave: emit half s's MXU v-passes, then half s+1's (purely
+        # dependent-on-itself) VPU phase, THEN consume half s's v — independent VPU
+        # work sits between the MXU pushes and their first consumer, so the scheduler
+        # can overlap the MXU drain with the next half's exp/splits/mean.
+        Ts = T // S
+        lt_hi, lt_lo = lt_hi_ref[:], lt_lo_ref[:]
+        pending = None  # (slice_start, v)
+        for s in range(S):
+            K = _phase_k(x_ref[s * Ts:(s + 1) * Ts, :], a_ref, b2_ref, kvar)
+            mean, k_hi, k_lo = _phase_mean_split(K, al_ref, mean_const)
+            mean_ref[s * Ts:(s + 1) * Ts, :] = mean
+            v = _dot3(k_hi, k_lo, lt_hi, lt_lo)  # [Ts, Cp]
+            if pending is not None:
+                lo, v_prev = pending
+                quad = jnp.sum(v_prev * v_prev, axis=-1, keepdims=True)
+                var_ref[lo:lo + Ts, :] = jnp.maximum(kvar - quad, 1e-24)
+            pending = (s * Ts, v)
+        lo, v_prev = pending
+        quad = jnp.sum(v_prev * v_prev, axis=-1, keepdims=True)
+        var_ref[lo:lo + Ts, :] = jnp.maximum(kvar - quad, 1e-24)
 
     return kernel
 
