@@ -30,7 +30,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (rule, budget_steps) — ScaledBranin rules at the reference budgets
-SB_BUDGETS = [("ei", 20), ("qei", 20), ("pcts", 20), ("gibbon", 20), ("trego", 25)]
+SB_BUDGETS = [
+    ("ei", 20), ("qei", 20), ("pcts", 20), ("gibbon", 20), ("trego", 25),
+    ("turbo", 30), ("fantasizer", 20), ("mes", 25),
+]
 RTOL = 0.005
 EHVI_STEPS = 20
 EHVI_THRESHOLD = -3.65  # reference log-hypervolume-difference envelope
