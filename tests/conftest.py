@@ -58,7 +58,11 @@ def _clear_jax_caches_per_module():
     XLA-CPU state in one process until the runtime falls over. Dropping the
     compilation caches between test modules keeps the peak bounded (each module
     recompiles what it needs — within-module caching, which the no-retrace tests
-    rely on, is unaffected)."""
+    rely on, is unaffected). NOTE: an RSS-gated variant (clear only above a memory
+    threshold) was tried in round 5 and segfaulted ~38% in at only ~4 GB RSS — the
+    fatal accumulation is internal XLA-CPU state, not resident memory, so the
+    unconditional per-module clear stays. For wall-clock, run the suite 2-way
+    (``pytest -n 2`` or the shard runner): each worker also holds half the state."""
     yield
     jax.clear_caches()
 

@@ -76,7 +76,9 @@ def test_async_multiprocessing_ask_tell():
     except (ImportError, OSError, PermissionError) as exc:  # pragma: no cover
         pytest.skip(f"multiprocessing unsupported here: {exc}")
     try:
-        proc = _run("async_multiprocessing_demo.py", "2", "6")
+        # 2 workers x 4 observations keeps the out-of-order tell coverage at half the
+        # wall-clock of the original 6-observation run
+        proc = _run("async_multiprocessing_demo.py", "2", "4")
     except subprocess.TimeoutExpired:  # pragma: no cover
         pytest.skip("async demo timed out (overloaded/unsupported environment)")
     out = proc.stdout + proc.stderr

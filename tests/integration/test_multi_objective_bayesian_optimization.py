@@ -58,13 +58,14 @@ def _run_vlmop2(rule, num_steps: int, seed: int = 0) -> float:
 
 
 def test_ehvi_finds_pareto_front_of_vlmop2_fast():
-    """Fast default-suite variant: reduced optimizer budget, looser threshold (this
-    seed reaches −3.36 here and −3.71 on the slow 20-step reference envelope)."""
+    """Fast default-suite variant: reduced optimizer budget and step count (this seed
+    reaches −3.15 at 12 steps; −3.73 on the slow 20-step reference envelope, also
+    verified on the real chip — ENVELOPES_TPU_r05.json)."""
     rule = EfficientGlobalOptimization(
         ExpectedHypervolumeImprovement().using(OBJECTIVE), optimizer=FAST_OPT
     )
-    log_hv_diff = _run_vlmop2(rule, num_steps=15)
-    assert log_hv_diff < -3.0, f"log hv diff {log_hv_diff}"
+    log_hv_diff = _run_vlmop2(rule, num_steps=12)
+    assert log_hv_diff < -2.8, f"log hv diff {log_hv_diff}"
 
 
 @pytest.mark.slow

@@ -308,3 +308,68 @@ def test_ego_acquire_histogram_is_deferred(tmp_path):
     w.close()
     events = [json.loads(l) for l in open(tmp_path / "events.jsonl")]
     assert any(e["tag"] == "EGO.query_points" for e in events)
+
+
+def test_deferred_flush_interval_batches_steps(tmp_path):
+    """With set_deferred_flush_interval(K), per-step flush calls are throttled to one
+    real flush every K calls; entries keep their enqueue-time step numbers; writer
+    detach force-flushes whatever remains."""
+    from trieste_tpu.logging import (
+        JsonlSummaryWriter,
+        deferred_scalar,
+        flush_deferred_summaries,
+        set_deferred_flush_interval,
+        set_step_number,
+        tensorboard_writer,
+    )
+
+    w = JsonlSummaryWriter(str(tmp_path))
+    try:
+        set_deferred_flush_interval(3)
+        with tensorboard_writer(w):
+            for step in range(4):
+                set_step_number(step)
+                deferred_scalar(f"s{step}", float(step))
+                flush_deferred_summaries()
+                events = [json.loads(l) for l in open(tmp_path / "events.jsonl")]
+                if step < 2:
+                    assert not events, f"flushed too early at step {step}"
+                elif step == 2:
+                    assert {e["tag"] for e in events} == {"s0", "s1", "s2"}
+                    assert {e["step"] for e in events} == {0, 1, 2}
+        # context exit detaches the writer -> force flush of s3
+        events = [json.loads(l) for l in open(tmp_path / "events.jsonl")]
+        assert any(e["tag"] == "s3" and e["step"] == 3 for e in events)
+    finally:
+        set_deferred_flush_interval(1)
+        set_step_number(0)
+    w.close()
+
+
+def test_deferred_scalar_vector_unpacks_without_device_ops(tmp_path):
+    """deferred_scalar_vector writes one scalar per name from a device vector; the
+    filter applies per name."""
+    import jax.numpy as jnp
+
+    from trieste_tpu.logging import (
+        JsonlSummaryWriter,
+        deferred_scalar_vector,
+        flush_deferred_summaries,
+        set_summary_filter,
+        default_summary_filter,
+        tensorboard_writer,
+    )
+
+    w = JsonlSummaryWriter(str(tmp_path))
+    with tensorboard_writer(w):
+        set_summary_filter(lambda n: not n.endswith("[1]"))
+        try:
+            deferred_scalar_vector(
+                ["ls[0]", "ls[1]", "ls[2]"], jnp.array([1.5, 2.5, 3.5])
+            )
+            flush_deferred_summaries()
+        finally:
+            set_summary_filter(default_summary_filter)
+    w.close()
+    events = {e["tag"]: e["value"] for e in map(json.loads, open(tmp_path / "events.jsonl"))}
+    assert events == {"ls[0]": 1.5, "ls[2]": 3.5}

@@ -136,7 +136,9 @@ def test_ehvi_matches_monte_carlo():
         ys = rng.normal(m, s, size=(20000, 2))
         ys = np.minimum(ys, ref - 1e-9)  # clip outside-reference samples contribute 0
         imps = []
-        for y in ys[:4000]:
+        # 1500 host-side hypervolume evaluations: the 5·SE tolerance below adapts to
+        # the sample count, so this only trades tightness for suite wall-clock
+        for y in ys[:1500]:
             imps.append(max(hv(np.vstack([front, y])) - base_hv, 0.0))
         mc = float(np.mean(imps))
         se = float(np.std(imps) / np.sqrt(len(imps)))

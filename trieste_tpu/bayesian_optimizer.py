@@ -471,7 +471,9 @@ def optimize_model_and_save_result(model, dataset: Dataset):
     """Train a model, logging the result (reference ``models/utils.py:125-132``)."""
     result = model.optimize(dataset)
     if get_tensorboard_writer() is not None and hasattr(result, "loss"):
-        scalar("model.training_loss", lambda: float(result.loss))
+        from .logging import deferred_scalar
+
+        deferred_scalar("model.training_loss", result.loss)
     return result
 
 
@@ -485,11 +487,11 @@ def write_summary_observations(
     """Log per-tag model internals, best/new observations (per output dimension) and,
     for multi-output tags, an observation pairplot figure with non-dominated points
     highlighted (reference ``bayesian_optimizer.py:1009-1106``)."""
-    from .logging import histogram, include_summary, pyplot
+    from .logging import deferred_histogram, deferred_scalar, include_summary, pyplot
 
     for tag, dataset in ignoring_local_tags(datasets).items():
-        obs = np.asarray(dataset.trimmed_observations)
-        if obs.size == 0:
+        obs_dev = dataset.trimmed_observations  # stays on device; no eager fetch
+        if obs_dev.shape[0] == 0:
             continue
         model = models.get(tag)
         if model is not None and hasattr(model, "log"):
@@ -497,22 +499,28 @@ def write_summary_observations(
                 model.log(dataset)
             except Exception:  # noqa: BLE001 - diagnostics must not kill the loop
                 pass
-        L = obs.shape[-1]
-        new_obs = (
-            np.asarray(tagged_output[tag].trimmed_observations)
+        L = obs_dev.shape[-1]
+        new_obs_dev = (
+            tagged_output[tag].trimmed_observations
             if tag in tagged_output
-            else np.zeros((0, L))
+            else jnp.zeros((0, L))
         )
         for i in range(L):
             suffix = f"[{i}]" if L > 1 else ""
-            if new_obs.size:
-                histogram(f"{tag}.observation{suffix}/new_observations", new_obs[..., i])
-                scalar(
-                    f"{tag}.observation{suffix}/best_new_observation",
-                    float(new_obs[..., i].min()),
+            if new_obs_dev.shape[0]:
+                deferred_histogram(
+                    f"{tag}.observation{suffix}/new_observations", new_obs_dev[..., i]
                 )
-            scalar(f"{tag}.observation{suffix}/best_overall", float(obs[..., i].min()))
+                deferred_scalar(
+                    f"{tag}.observation{suffix}/best_new_observation",
+                    jnp.min(new_obs_dev[..., i]),
+                )
+            deferred_scalar(
+                f"{tag}.observation{suffix}/best_overall", jnp.min(obs_dev[..., i])
+            )
         if L >= 2 and include_summary(f"{tag}.observations/_pairplot"):
+            obs = np.asarray(obs_dev)
+            new_obs = np.asarray(new_obs_dev)
             try:
                 from .acquisition.multi_objective.dominance import non_dominated
                 from .experimental.plotting.pairplot import (
@@ -540,15 +548,16 @@ def write_summary_query_points(
 ) -> None:
     """Log per-input-dimension query-point histograms and (for D>=2) a query-point
     pairplot (reference ``bayesian_optimizer.py:1109-1157``)."""
-    from .logging import histogram, include_summary, pyplot
+    from .logging import deferred_histogram, include_summary, pyplot
 
     for tag, dataset in ignoring_local_tags(datasets).items():
-        qp = np.asarray(dataset.trimmed_query_points)
-        if qp.size == 0:
+        qp_dev = dataset.trimmed_query_points  # device; fetched at the step flush
+        if qp_dev.shape[0] == 0:
             continue
-        for i in range(qp.shape[-1]):
-            histogram(f"{tag}.query_points/[{i}]", qp[:, i])
-        if qp.shape[-1] >= 2 and include_summary(f"{tag}.query_points/_pairplot"):
+        for i in range(qp_dev.shape[-1]):
+            deferred_histogram(f"{tag}.query_points/[{i}]", qp_dev[:, i])
+        if qp_dev.shape[-1] >= 2 and include_summary(f"{tag}.query_points/_pairplot"):
+            qp = np.asarray(qp_dev)
             try:
                 from .experimental.plotting.pairplot import (
                     observation_groups,

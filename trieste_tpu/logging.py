@@ -111,7 +111,7 @@ def set_tensorboard_writer(writer: Optional[Any]) -> None:
     summaries queued against the outgoing writer are flushed to it first."""
     global _WRITER
     if _WRITER is not None and _WRITER is not writer:
-        flush_deferred_summaries()
+        flush_deferred_summaries(force=True)
     _WRITER = writer
 
 
@@ -183,6 +183,20 @@ def _evaluate(value: Union[float, Callable[[], Any]]) -> Any:
 # the filter check, not past the device fetch.
 
 _DEFERRED: list = []
+_FLUSH_INTERVAL: int = 1
+_FLUSHES_SKIPPED: int = 0
+
+
+def set_deferred_flush_interval(interval: int) -> None:
+    """Flush deferred summaries only every ``interval``-th per-step flush call
+    (default 1 = every step). Queued entries carry their own step numbers, so events
+    arrive in TensorBoard unchanged, just later. Over a high-latency dispatch link
+    (remote TPU) each flush costs one device round trip; ``interval=K`` amortizes it
+    K-fold. Detaching the writer always force-flushes."""
+    global _FLUSH_INTERVAL
+    if interval < 1:
+        raise ValueError(f"interval must be >= 1, got {interval}")
+    _FLUSH_INTERVAL = interval
 
 
 def deferred_scalar(
@@ -205,18 +219,79 @@ def deferred_histogram(
     _DEFERRED.append(("histogram", name, values, _STEP, kwargs))
 
 
-def flush_deferred_summaries() -> None:
-    """Evaluate and write all queued deferred summaries (errors swallowed per entry,
-    like the eager wrappers). Writes use the step number captured at enqueue time."""
-    global _DEFERRED
-    pending, _DEFERRED = _DEFERRED, []
+def deferred_scalar_vector(names: list, values: Any, **kwargs: Any) -> None:
+    """Queue one scalar per entry of ``names`` from the corresponding element of the
+    1-D device array ``values`` — WITHOUT any per-element device ops at the call site
+    (indexing a device array is itself a dispatched op; over a remote dispatch link
+    those round trips are the cost this protocol removes). The array rides the packed
+    flush fetch; elements are split out on host."""
     if _WRITER is None:
         return
+    kept = [(i, n) for i, n in enumerate(names) if include_summary(n)]
+    if not kept:
+        return
+    _DEFERRED.append(("scalar_vector", kept, values, _STEP, kwargs))
+
+
+def flush_deferred_summaries(force: bool = False) -> None:
+    """Evaluate and write all queued deferred summaries (errors swallowed per entry,
+    like the eager wrappers). Writes use the step number captured at enqueue time.
+
+    Queued values that are device arrays are fetched in ONE packed transfer (a single
+    concatenated f32 vector): over a high-latency dispatch link (the remote-TPU case)
+    per-value fetches each cost a full round trip, which is exactly the per-step
+    logging overhead this protocol exists to remove. With
+    :func:`set_deferred_flush_interval` the flush itself is further amortized over
+    several steps (``force=True`` bypasses the throttle — used on writer detach)."""
+    global _DEFERRED, _FLUSHES_SKIPPED
+    if not force and _FLUSH_INTERVAL > 1:
+        _FLUSHES_SKIPPED += 1
+        if _FLUSHES_SKIPPED < _FLUSH_INTERVAL:
+            return
+    _FLUSHES_SKIPPED = 0
+    pending, _DEFERRED = _DEFERRED, []
+    if _WRITER is None or not pending:
+        return
+    resolved = []
     for kind, name, value, step, kwargs in pending:
         try:
-            v = _evaluate(value)
+            resolved.append((kind, name, _evaluate(value), step, kwargs))
+        except Exception as e:  # noqa: BLE001
+            print(f"failed to log {kind} {name}: {e}")
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        device_idx = [
+            i for i, (_, _, v, _, _) in enumerate(resolved) if isinstance(v, jax.Array)
+        ]
+        if device_idx:
+            flat = jnp.concatenate(
+                [
+                    jnp.ravel(resolved[i][2]).astype(jnp.float32)
+                    for i in device_idx
+                ]
+            )
+            host = np.asarray(flat)  # the single round trip
+            offset = 0
+            for i in device_idx:
+                kind, name, v, step, kwargs = resolved[i]
+                size = int(np.prod(v.shape)) if v.shape else 1
+                resolved[i] = (
+                    kind, name,
+                    host[offset : offset + size].reshape(v.shape), step, kwargs,
+                )
+                offset += size
+    except Exception as e:  # noqa: BLE001
+        print(f"failed to batch-fetch deferred summaries: {e}")
+    for kind, name, v, step, kwargs in resolved:
+        try:
             if kind == "scalar":
                 _WRITER.add_scalar(name, float(np.asarray(v)), step, **kwargs)
+            elif kind == "scalar_vector":
+                flat = np.asarray(v).reshape(-1)
+                for i, n in name:  # name holds [(index, name), ...]
+                    _WRITER.add_scalar(n, float(flat[i]), step, **kwargs)
             else:
                 _WRITER.add_histogram(name, np.asarray(v), step, **kwargs)
         except Exception as e:  # noqa: BLE001

@@ -268,15 +268,23 @@ class GaussianProcessRegression:
     # -- misc --------------------------------------------------------------------------
 
     def log(self, dataset: Optional[Dataset] = None) -> None:
-        from ...logging import get_tensorboard_writer, scalar
+        from ...logging import deferred_scalar, get_tensorboard_writer
 
         if get_tensorboard_writer() is None:
             return
-        scalar("kernel.variance", self._params.kernel.variance)
-        ls = jnp.atleast_1d(self._params.kernel.lengthscales)
-        for i in range(ls.shape[0]):
-            scalar(f"kernel.lengthscale[{i}]", ls[i])
-        scalar("likelihood.variance", self._params.noise_variance)
+        # device values queued for the loop's per-step flush (one packed fetch);
+        # the vector form avoids even the per-lengthscale slice dispatches
+        from ...logging import deferred_scalar_vector
+
+        deferred_scalar("kernel.variance", self._params.kernel.variance)
+        ls = self._params.kernel.lengthscales
+        if ls.ndim == 0:
+            deferred_scalar("kernel.lengthscale[0]", ls)
+        else:
+            deferred_scalar_vector(
+                [f"kernel.lengthscale[{i}]" for i in range(ls.shape[0])], ls
+            )
+        deferred_scalar("likelihood.variance", self._params.noise_variance)
         if dataset is not None:
             from ..utils import write_summary_data_based_metrics
 
