@@ -20,6 +20,7 @@ DOCTEST_MODULES = (
     "trieste_tpu.acquisition.multi_objective.pareto",
     "trieste_tpu.models.gp.builders",
     "trieste_tpu.models.gp.likelihoods",
+    "trieste_tpu.logging",
 )
 
 

@@ -204,7 +204,21 @@ def deferred_scalar(
 ) -> None:
     """Queue a scalar summary; its closure is evaluated (and any device value fetched)
     only at the next :func:`flush_deferred_summaries`. No-op (closure never evaluated)
-    when no writer is set or the filter excludes ``name``."""
+    when no writer is set or the filter excludes ``name``.
+
+    >>> import tempfile
+    >>> from trieste_tpu.logging import (
+    ...     JsonlSummaryWriter, deferred_scalar, flush_deferred_summaries,
+    ...     tensorboard_writer)
+    >>> calls = []
+    >>> with tensorboard_writer(JsonlSummaryWriter(tempfile.mkdtemp())):
+    ...     deferred_scalar("loop/improvement", lambda: calls.append(1) or 0.25)
+    ...     len(calls)            # nothing evaluated at the call site
+    ...     flush_deferred_summaries()
+    ...     len(calls)            # evaluated exactly once, at the flush
+    0
+    1
+    """
     if _WRITER is None or not include_summary(name):
         return
     _DEFERRED.append(("scalar", name, value, _STEP, kwargs))
