@@ -30,9 +30,12 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (rule, budget_steps) — ScaledBranin rules at the reference budgets
+# (the same 14 families as the CPU-f64 slow-envelope artifact ENVELOPES_r04.json)
 SB_BUDGETS = [
     ("ei", 20), ("qei", 20), ("pcts", 20), ("gibbon", 20), ("trego", 25),
     ("turbo", 30), ("fantasizer", 20), ("mes", 25),
+    ("nlcb", 25), ("monlcb", 30), ("dts", 25), ("async", 20), ("lp", 25),
+    ("batch-tr", 15),
 ]
 RTOL = 0.005
 EHVI_STEPS = 20
