@@ -302,3 +302,42 @@ def _run_optimizer_fuses_under_mesh(mesh8, key):
         fused_predict.fused_predict_f = orig
     assert calls["fused"] >= 1, "seed scoring did not dispatch the fused kernel"
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), rtol=1e-3, atol=1e-5)
+
+
+def test_tiny_noise_models_skip_linvt_so_fused_path_cannot_engage():
+    """Regression: with noise/signal < 1e-5 the bf16-split variance contract swamps the
+    true posterior variance near data (monlcb's NaN death spiral on real TPU, round 5).
+    ``can_fuse``'s concrete-value check cannot fire under jit, so the model wrapper must
+    skip building ``LinvT`` eagerly — and ``can_fuse`` requires ``LinvT``."""
+    from trieste_tpu.models.gp.gpr import GaussianProcessRegression, _linvt_ok
+
+    key = jax.random.PRNGKey(0)
+    X = jax.random.uniform(key, (16, 2), dtype=jnp.float32)
+    Y = jnp.sum(X, -1, keepdims=True)
+    ds = Dataset.from_arrays(X, Y)
+
+    def mk(noise):
+        return GPRParams(
+            kernel=stationary("rbf", 1.0, [0.5, 0.5], dtype=jnp.float32),
+            noise_variance=jnp.asarray(noise, jnp.float32),
+            mean_constant=jnp.asarray(0.0, jnp.float32),
+        )
+
+    tiny = GaussianProcessRegression(mk(1e-7), ds)
+    assert tiny.posterior_cache.LinvT is None
+    assert not fused_predict.can_fuse(
+        tiny.params, tiny.posterior_cache, jnp.zeros((4096, 2), jnp.float32)
+    )
+    # prediction still works through the exact XLA path
+    mean, var = tiny.predict(X[:4])
+    assert bool(jnp.all(jnp.isfinite(mean))) and bool(jnp.all(jnp.isfinite(var)))
+
+    healthy = GaussianProcessRegression(mk(1e-2), ds)
+    assert healthy.posterior_cache.LinvT is not None
+
+    assert not _linvt_ok(mk(1e-7))
+    assert _linvt_ok(mk(1e-2))
+    # under tracing there is no eager information: take the exact (safe) path
+    traced_decisions = []
+    jax.eval_shape(lambda p: (traced_decisions.append(_linvt_ok(p)), p.noise_variance)[1], mk(1e-2))
+    assert traced_decisions == [False]

@@ -47,7 +47,7 @@ def test_box_contains(box):
 
 def test_box_validation():
     with pytest.raises(ValueError):
-        Box([0.0], [0.0])
+        Box([1.0], [0.0])
     with pytest.raises(ValueError):
         Box([0.0, 1.0], [1.0])
 

@@ -28,11 +28,9 @@ from trieste_tpu.space import (
 @pytest.mark.parametrize(
     "lower, upper",
     [
-        ([0.0], [0.0]),  # equal bounds
         ([1.0], [0.0]),  # inverted bounds
         ([0.0, 0.0], [1.0]),  # mismatched shapes
-        ([], []),  # empty bounds
-        ([0.0, 1.0], [1.0, 1.0]),  # one dimension degenerate
+        ([0.5, 1.0], [1.0, 0.5]),  # one dimension inverted
     ],
 )
 def test_box_invalid_bounds_raise(lower, upper):

@@ -43,9 +43,28 @@ def _jit_fit(key, params, X, Y, mask, priors, num_starts, train_noise, max_iters
     )
 
 
-@jax.jit
-def _jit_cache(params, X, Y, mask):
-    return P.build_cache(params, X, Y, mask)
+def _linvt_ok(params) -> bool:
+    """Eager tiny-noise gate for the fused-path triangular inverse.
+
+    The fused Pallas kernel's bf16-split variance is a ~2⁻¹⁶·‖K‖‖L⁻ᵀ‖ ABSOLUTE
+    contract (``ops/fused_predict.py``): with a noise/signal ratio below 1e-5 the true
+    posterior variance near data is smaller than that error, collapsing e.g. LCB-family
+    acquisitions onto already-observed points (observed as monlcb's NaN death spiral on
+    TPU). ``can_fuse`` can only check this when values are concrete — under ``jit`` the
+    noise is a tracer — so the decision is made HERE, eagerly at cache-build time where
+    the fitted hyperparameters are always concrete: skip ``LinvT`` entirely (also
+    skipping its O(C³) build) and prediction dispatches to the exact XLA path."""
+    try:
+        noise = float(params.noise_variance)
+        variance = float(params.kernel.variance)
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return False  # traced params: no eager information, take the exact path
+    return noise / max(variance, 1e-30) >= 1e-5
+
+
+@partial(jax.jit, static_argnames="with_linvt")
+def _jit_cache(params, X, Y, mask, with_linvt=True):
+    return P.build_cache(params, X, Y, mask, with_linvt=with_linvt)
 
 
 class GaussianProcessRegression:
@@ -78,7 +97,8 @@ class GaussianProcessRegression:
         self._priors = priors
         self._key = optimize_key if optimize_key is not None else jax.random.PRNGKey(0)
         self._cache = _jit_cache(
-            params, dataset.query_points, dataset.observations, dataset.mask
+            params, dataset.query_points, dataset.observations, dataset.mask,
+            with_linvt=_linvt_ok(params),
         )
 
     # -- state accessors ------------------------------------------------------------
@@ -223,7 +243,8 @@ class GaussianProcessRegression:
             )
         self._dataset = dataset
         self._cache = _jit_cache(
-            self._params, dataset.query_points, dataset.observations, dataset.mask
+            self._params, dataset.query_points, dataset.observations, dataset.mask,
+            with_linvt=_linvt_ok(self._params),
         )
 
     def optimize(self, dataset: Dataset) -> GPRTrainingResult:
@@ -249,7 +270,8 @@ class GaussianProcessRegression:
         self._params = result.params
         self._dataset = dataset
         self._cache = _jit_cache(
-            result.params, dataset.query_points, dataset.observations, dataset.mask
+            result.params, dataset.query_points, dataset.observations, dataset.mask,
+            with_linvt=_linvt_ok(result.params),
         )
         return result
 

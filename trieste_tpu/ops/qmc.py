@@ -65,6 +65,8 @@ def halton_sample(
     if dimension > len(_PRIMES):
         raise ValueError(f"Halton supports up to {len(_PRIMES)} dims, got {dimension}")
     dtype = dtype or default_float()
+    if dimension == 0:
+        return jnp.zeros((num_samples, 0), dtype)
     indices = jnp.arange(1, num_samples + 1, dtype=jnp.int64 if num_samples > 2**31 else jnp.int32)
     cols = []
     for d in range(dimension):

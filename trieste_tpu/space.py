@@ -347,6 +347,8 @@ class CategoricalSearchSpace(GeneralDiscreteSearchSpace):
     def to_tags(self, points: TensorType) -> list[list[str]]:
         """Map numeric index points to category names (reference ``space.py:700-726``)."""
         pts = np.asarray(points)
+        if not np.all(pts == np.round(pts)):
+            raise ValueError(f"to_tags requires integral indices, got {pts}")
         out = []
         for row in pts.reshape(-1, pts.shape[-1]):
             out.append([self._tags[d][int(v)] for d, v in enumerate(row)])
@@ -399,10 +401,11 @@ class Box(SearchSpace):
             raise ValueError("bounds must be rank 1")
         if lower.shape != upper.shape:
             raise ValueError(f"bound shapes differ: {lower.shape} vs {upper.shape}")
-        if lower.shape[0] == 0:
-            raise ValueError("bounds must be non-empty")
-        if not bool(np.all(lower < upper)):
-            raise ValueError("lower must be strictly less than upper")
+        # zero-width dimensions (lower == upper) and even zero-dimensional boxes are
+        # valid, as in the reference (``space.py:795-800``): collapsed trust regions
+        # and fixed subspaces produce them naturally
+        if not bool(np.all(lower <= upper)):
+            raise ValueError("lower must not exceed upper")
         self._lower = lower
         self._upper = upper
         self._constraints: Sequence[Constraint] = list(constraints or [])
