@@ -316,3 +316,26 @@ def test_vectorized_slices_get_distinct_keys(key):
 
     got = opt(space, (vec_acq, 2), key=key)
     np.testing.assert_allclose(np.asarray(got), 0.25, atol=1e-4)
+
+
+def test_batchify_validation_raises():
+    """Reference ``test_optimizer.py`` batchify validation matrix."""
+    base = generate_continuous_optimizer(num_initial_samples=32, num_optimization_runs=2)
+    for factory in (batchify_joint, batchify_vectorize):
+        with pytest.raises(ValueError, match="positive"):
+            factory(base, 0)
+        with pytest.raises(ValueError, match="positive"):
+            factory(base, -2)
+    space = Box([-1.0], [1.0])
+    already_vectorized = (lambda x: -jnp.sum(x**2, axis=(-2, -1)), 2)
+    with pytest.raises(ValueError, match="vectorized"):
+        batchify_joint(base, 2)(space, already_vectorized, key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="vectorized"):
+        batchify_vectorize(base, 2)(space, already_vectorized, key=jax.random.PRNGKey(0))
+
+
+def test_random_search_rejects_nonpositive_samples():
+    with pytest.raises(ValueError, match="positive"):
+        generate_random_search_optimizer(0)
+    with pytest.raises(ValueError, match="positive"):
+        generate_random_search_optimizer(-5)

@@ -140,3 +140,29 @@ def test_rff_trajectories_finite_at_tiny_noise_f32():
             traj = sampler.get_trajectory(jax.random.PRNGKey(s), 3)
             out = traj(x)
             assert bool(jnp.all(jnp.isfinite(out))), f"non-finite trajectory at key {s}"
+
+
+def test_rff_and_decoupled_trajectories_give_similar_results(gpr, key):
+    """The weight-space (RFF) and decoupled (Matheron) samplers draw from the same
+    posterior: their empirical moments over many draws must agree with each other
+    (reference ``test_sampler.py::test_rff_and_decoupled_trajectory_give_similar_results``)."""
+    x = jnp.linspace(-0.9, 0.9, 11)[:, None]
+    k1, k2 = jax.random.split(key)
+    rff_mean, rff_var = _trajectory_moments(
+        lambda: RandomFourierFeatureTrajectorySampler(gpr, 1024), k1, x
+    )
+    dec_mean, dec_var = _trajectory_moments(
+        lambda: DecoupledTrajectorySampler(gpr, 1024), k2, x
+    )
+    np.testing.assert_allclose(rff_mean, dec_mean, atol=0.15)
+    np.testing.assert_allclose(rff_var, dec_var, atol=0.15)
+
+
+def test_trajectory_batch_draws_are_independent(gpr, key):
+    """Distinct batch slices of one trajectory draw are distinct functions."""
+    for cls in (RandomFourierFeatureTrajectorySampler, DecoupledTrajectorySampler):
+        traj = cls(gpr, 512).get_trajectory(key, batch_size=3)
+        x = jnp.broadcast_to(jnp.linspace(-1.0, 1.0, 7)[:, None, None], (7, 3, 1))
+        vals = np.asarray(traj(x))[:, :, 0]  # [7, 3]
+        assert not np.allclose(vals[:, 0], vals[:, 1])
+        assert not np.allclose(vals[:, 1], vals[:, 2])
