@@ -270,3 +270,48 @@ def test_tell_retrains_all_models_once(setup):
               "CONSTRAINT": mk_dataset([[0.0, 0.0]], [[0.0]])})
     assert model.optimize_count == base_obj + 1
     assert constraint_model.optimize_count == base_con + 1
+
+
+def test_models_setter_replaces_models(setup):
+    space, data, model = setup
+    opt = AskTellOptimizer(space, data, model, FixedAcquisitionRule([[0.0, 0.0]]))
+    model2 = _FitCountingModel()
+    opt.models = {OBJECTIVE: model2}
+    assert opt.models[OBJECTIVE] is model2 is not model
+    assert opt.model is model2
+
+
+def test_models_setter_errors(setup):
+    space, data, model = setup
+    opt = AskTellOptimizer(space, data, model, FixedAcquisitionRule([[0.0, 0.0]]))
+    with pytest.raises(ValueError, match="keys"):
+        opt.models = {}
+    with pytest.raises(ValueError, match="keys"):
+        opt.models = {OBJECTIVE: _FitCountingModel(), "X": _FitCountingModel()}
+    with pytest.raises(ValueError, match="keys"):
+        opt.models = {"CONSTRAINT": _FitCountingModel()}
+
+
+def test_model_setter_replaces_single_objective_model(setup):
+    space, data, model = setup
+    opt = AskTellOptimizer(space, data, model, FixedAcquisitionRule([[0.0, 0.0]]))
+    model2 = _FitCountingModel()
+    opt.model = model2
+    assert opt.models[OBJECTIVE] is model2 is not model
+
+
+def test_model_setter_errors(setup):
+    space, data, model = setup
+    one_model_odd_tag = AskTellOptimizer(
+        space, {"X": data}, {"X": model}, FixedAcquisitionRule([[0.0, 0.0]])
+    )
+    with pytest.raises(ValueError):
+        one_model_odd_tag.model = model
+    two_models = AskTellOptimizer(
+        space,
+        {OBJECTIVE: data, "X": data},
+        {OBJECTIVE: model, "X": _FitCountingModel()},
+        FixedAcquisitionRule([[0.0, 0.0]]),
+    )
+    with pytest.raises(ValueError):
+        two_models.model = model

@@ -143,12 +143,34 @@ class AskTellOptimizerABC(ABC, Generic[StateType]):
     def models(self) -> Mapping[Tag, TrainableProbabilisticModel]:
         return self._models
 
+    @models.setter
+    def models(self, models: Mapping[Tag, TrainableProbabilisticModel]) -> None:
+        """Replace the models; the keys must match the current ones exactly
+        (reference ``ask_tell_optimization.py:362-375``)."""
+        if models.keys() != self._models.keys():
+            raise ValueError(
+                f"New models contain incorrect keys. Expected {self._models.keys()}, "
+                f"received {models.keys()}."
+            )
+        self._models = dict(models)
+
     @property
     def model(self) -> TrainableProbabilisticModel:
         models = ignoring_local_tags(self.models)
         if len(models) == 1:
             return next(iter(models.values()))
         raise ValueError(f"expected a single model, found {len(models)}")
+
+    @model.setter
+    def model(self, model: TrainableProbabilisticModel) -> None:
+        """Replace the model of a single-model optimizer keyed by the default
+        ``OBJECTIVE`` tag (reference ``ask_tell_optimization.py:384-398``)."""
+        if self._models.keys() != {OBJECTIVE}:
+            raise ValueError(
+                f"Expected a single model keyed by {OBJECTIVE!r}, found "
+                f"{self._models.keys()}"
+            )
+        self._models = {OBJECTIVE: model}
 
     @property
     def acquisition_state(self) -> Optional[StateType]:
