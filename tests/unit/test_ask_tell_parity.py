@@ -315,3 +315,51 @@ def test_model_setter_errors(setup):
     )
     with pytest.raises(ValueError):
         two_models.model = model
+
+
+def test_tell_unknown_localized_tag_raises_rather_than_dropping(setup):
+    """Regression (round-5 review): a localized tag whose base exists but which is not
+    itself a dataset key must raise — the old global-tag fallback accepted it and then
+    silently dropped the observations."""
+    space, data, model = setup
+    opt = AskTellOptimizer(space, data, model, FixedAcquisitionRule([[0.0, 0.0]]))
+    n_before = opt.dataset.num_points
+    with pytest.raises(ValueError, match="Unknown tag"):
+        opt.tell({LocalizedTag(OBJECTIVE, 5): mk_dataset([[0.0, 0.0]], [[0.0]])})
+    assert opt.dataset.num_points == n_before
+
+
+def test_from_state_forwards_local_data_ixs(setup):
+    """Regression (round-5 review): a manually-assembled state carrying local_data_ixs
+    must subset the global data per region on restore."""
+    import jax.numpy as jnp
+
+    from trieste_tpu.ask_tell_optimization import AskTellOptimizerState
+    from trieste_tpu.bayesian_optimizer import Record
+
+    space, data, model = setup
+
+    class TwoRegionRule(FixedAcquisitionRule):
+        num_local_datasets = 2
+
+        def initialize_subspaces(self, search_space):
+            pass
+
+    from trieste_tpu.acquisition.rule import LocalDatasetsAcquisitionRule
+
+    LocalDatasetsAcquisitionRule.register(TwoRegionRule)
+
+    state = AskTellOptimizerState(
+        record=Record({OBJECTIVE: data}, {OBJECTIVE: model}, None),
+        local_data_ixs=(jnp.asarray([0]), jnp.asarray([1])),
+    )
+    opt = AskTellOptimizer.from_state(state, space, TwoRegionRule([[0.0, 0.0]]))
+    local0 = opt.datasets[LocalizedTag(OBJECTIVE, 0)]
+    local1 = opt.datasets[LocalizedTag(OBJECTIVE, 1)]
+    assert local0.num_points == 1 and local1.num_points == 1
+    np.testing.assert_allclose(
+        np.asarray(local0.trimmed_query_points), np.asarray(data.query_points[:1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(local1.trimmed_query_points), np.asarray(data.query_points[1:2])
+    )

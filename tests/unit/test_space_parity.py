@@ -169,3 +169,41 @@ def test_pow_matches_repeated_mul():
     dss = DiscreteSearchSpace(jnp.asarray([[0.0], [1.0]]))
     squared = dss**2
     assert squared.points.shape == (4, 2)
+
+
+def test_box_equality_includes_constraints():
+    """Regression (round-5 review): a constrained box must not compare equal to the
+    same box without (or with different) constraints."""
+    from trieste_tpu.space import LinearConstraint
+
+    A, lb, ub = [[1.0, 1.0]], [0.0], [1.0]
+    plain = Box([0.0, 0.0], [1.0, 1.0])
+    constrained = Box([0.0, 0.0], [1.0, 1.0], constraints=[LinearConstraint(A, lb, ub)])
+    same = Box([0.0, 0.0], [1.0, 1.0], constraints=[LinearConstraint(A, lb, ub)])
+    other = Box([0.0, 0.0], [1.0, 1.0], constraints=[LinearConstraint(A, lb, [2.0])])
+    assert constrained != plain and plain != constrained
+    assert constrained == same
+    assert constrained != other
+
+
+def test_categorical_equality_includes_category_names():
+    """Regression (round-5 review): category NAMES are part of the space identity."""
+    colours = CategoricalSearchSpace([["red", "green"]])
+    switch = CategoricalSearchSpace([["on", "off"]])
+    assert colours != switch
+    assert colours == CategoricalSearchSpace([["red", "green"]])
+    # and a categorical space is still never equal to a plain discrete space
+    assert colours != DiscreteSearchSpace(colours.points)
+
+
+def test_one_hot_encoder_mixin_membership():
+    """Regression (round-5 review): encoder-bearing spaces are HasOneHotEncoder."""
+    from trieste_tpu.space import HasOneHotEncoder
+
+    assert isinstance(CategoricalSearchSpace(3), HasOneHotEncoder)
+    assert isinstance(
+        TaggedProductSearchSpace([Box([0.0], [1.0]), CategoricalSearchSpace(3)]),
+        HasOneHotEncoder,
+    )
+    assert not isinstance(Box([0.0], [1.0]), HasOneHotEncoder)
+    assert not isinstance(DiscreteSearchSpace(jnp.asarray([[0.0]])), HasOneHotEncoder)

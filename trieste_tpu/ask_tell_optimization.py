@@ -8,7 +8,6 @@ round-trips through :class:`AskTellOptimizerState`, the analogue of the referenc
 """
 from __future__ import annotations
 
-import copy
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
 from typing import Generic, Mapping, Optional, Tuple, TypeVar, Union
@@ -221,9 +220,18 @@ class AskTellOptimizerABC(ABC, Generic[StateType]):
         acquisition_rule: Optional[object] = None,
         track_data: bool = True,
     ) -> "AskTellOptimizerABC[StateType]":
-        """(reference ``ask_tell_optimization.py:542-576``)"""
-        return cls.from_record(
-            state.record, search_space, acquisition_rule, track_data=track_data
+        """(reference ``ask_tell_optimization.py:542-576``). ``state.local_data_ixs``,
+        when set, re-derives the per-region local datasets on restore; records whose
+        datasets already carry localized tags restore those directly."""
+        return cls(
+            search_space,
+            dict(state.record.datasets),
+            dict(state.record.models),  # type: ignore[arg-type]
+            acquisition_rule=acquisition_rule,
+            acquisition_state=state.record.acquisition_state,
+            fit_model=False,
+            track_data=track_data,
+            local_data_ixs=state.local_data_ixs,
         )
 
     # -- the loop ----------------------------------------------------------------------
@@ -259,22 +267,19 @@ class AskTellOptimizerABC(ABC, Generic[StateType]):
         if isinstance(new_data, Dataset):
             new_data = {OBJECTIVE: new_data}
         new_data = dict(new_data)
-        if not set(new_data.keys()) <= set(self._datasets.keys()):
-            # allow global-only tells for local rules
-            for tag in new_data:
-                if tag not in self._datasets:
-                    ltag = LocalizedTag.from_tag(tag)
-                    if ltag.global_tag not in self._datasets:
-                        raise ValueError(
-                            f"Unknown tag {tag!r} in new data; expected keys "
-                            f"{self._datasets.keys()}"
-                        )
+        unknown = set(new_data.keys()) - set(self._datasets.keys())
+        if unknown:
+            # every told tag must address an existing dataset: accepting a localized
+            # tag whose base merely exists would silently drop the observations
+            raise ValueError(
+                f"Unknown tag(s) {unknown!r} in new data; expected keys "
+                f"{self._datasets.keys()}"
+            )
         for tag, ds in new_data.items():
-            if tag in self._datasets:
-                if self._track_data:
-                    self._datasets[tag] = self._datasets[tag] + ds
-                else:
-                    self._datasets[tag] = ds
+            if self._track_data:
+                self._datasets[tag] = self._datasets[tag] + ds
+            else:
+                self._datasets[tag] = ds
         filtered = self._acquisition_rule.filter_datasets(self._models, self._datasets)
         if callable(filtered):
             self._acquisition_state, filtered = filtered(self._acquisition_state)

@@ -302,7 +302,7 @@ class DiscreteSearchSpace(GeneralDiscreteSearchSpace):
     """A discrete space of numeric points (reference ``space.py:437-503``)."""
 
 
-class CategoricalSearchSpace(GeneralDiscreteSearchSpace):
+class CategoricalSearchSpace(GeneralDiscreteSearchSpace, HasOneHotEncoder):
     """A categorical space: each dimension takes one of a finite set of named categories,
     represented numerically by its index (reference ``space.py:553-726``)."""
 
@@ -376,6 +376,14 @@ class CategoricalSearchSpace(GeneralDiscreteSearchSpace):
         if isinstance(other, CategoricalSearchSpace):
             return CategoricalSearchSpace(list(self._tags) + list(other._tags))
         return TaggedProductSearchSpace([self, other])
+
+    def __eq__(self, other: object) -> bool:
+        # category NAMES are part of the space's identity, not just the index points
+        return (
+            isinstance(other, CategoricalSearchSpace)
+            and self._tags == other._tags
+            and super().__eq__(other)
+        )
 
 
 # ---------------------------------------------------------------------------------
@@ -534,6 +542,7 @@ class Box(SearchSpace):
             isinstance(other, Box)
             and bool(np.array_equal(self._lower, other._lower))
             and bool(np.array_equal(self._upper, other._upper))
+            and list(self._constraints) == list(other._constraints)
         )
 
     def __repr__(self) -> str:
@@ -572,7 +581,7 @@ class CollectionSearchSpace(SearchSpace):
         return self._spaces[tag]
 
 
-class TaggedProductSearchSpace(CollectionSearchSpace):
+class TaggedProductSearchSpace(CollectionSearchSpace, HasOneHotEncoder):
     """Product of heterogeneous subspaces laid out along the feature axis
     (reference ``space.py:1244-1407``)."""
 
@@ -651,10 +660,6 @@ class TaggedProductSearchSpace(CollectionSearchSpace):
         return encoder
 
     def __mul__(self, other: SearchSpace) -> SearchSpace:
-        if isinstance(other, TaggedProductSearchSpace):
-            return TaggedProductSearchSpace(
-                [self, other]
-            )
         return TaggedProductSearchSpace([self, other])
 
     def __repr__(self) -> str:
