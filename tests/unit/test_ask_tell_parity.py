@@ -363,3 +363,24 @@ def test_from_state_forwards_local_data_ixs(setup):
     np.testing.assert_allclose(
         np.asarray(local1.trimmed_query_points), np.asarray(data.query_points[1:2])
     )
+
+
+def test_dataset_len_returns_common_global_size(setup):
+    space, data, model = setup
+    datasets = {
+        OBJECTIVE: data,
+        "CONSTRAINT": data,
+        LocalizedTag(OBJECTIVE, 0): mk_dataset([[0.1, 0.2]], [[0.05]]),
+    }
+    # local datasets of other sizes are ignored
+    assert AskTellOptimizer.dataset_len(datasets) == 2
+
+
+def test_dataset_len_raises_on_inconsistent_global_sizes(setup):
+    space, data, model = setup
+    datasets = {
+        OBJECTIVE: data,
+        "CONSTRAINT": mk_dataset([[0.1, 0.2]], [[0.05]]),
+    }
+    with pytest.raises(ValueError, match="unique global dataset size"):
+        AskTellOptimizer.dataset_len(datasets)

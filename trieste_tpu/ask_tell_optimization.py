@@ -175,6 +175,22 @@ class AskTellOptimizerABC(ABC, Generic[StateType]):
     def acquisition_state(self) -> Optional[StateType]:
         return self._acquisition_state
 
+    @classmethod
+    def dataset_len(cls, datasets: Mapping[Tag, Dataset]) -> int:
+        """The common size of the global (non-local) datasets
+        (reference ``ask_tell_optimization.py:435-449``)."""
+        lens = {
+            tag: int(ds.num_points)
+            for tag, ds in datasets.items()
+            if not LocalizedTag.from_tag(tag).is_local
+        }
+        unique = set(lens.values())
+        if len(unique) != 1:
+            raise ValueError(
+                f"Expected unique global dataset size, got {sorted(unique)}: {lens}"
+            )
+        return next(iter(unique))
+
     # -- serialization -----------------------------------------------------------------
 
     def to_record(self, copy: bool = True) -> Record[StateType]:
